@@ -1,0 +1,108 @@
+"""Pure-Python/numpy reference implementations for the graph operators
+(SURVEY.md §5: "graph-algorithm oracles"). Deliberately independent of
+Spark — dense/dict-based, small-scale only."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+
+
+def pagerank_oracle(
+    edges: list[tuple[str, str, float]],
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    weighted: bool = True,
+) -> dict[str, float]:
+    """Power iteration with weighted transitions + uniform dangling-mass
+    redistribution — the exact semantics of operators/pagerank.py."""
+    verts = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    if n == 0:
+        return {}
+    out_w = np.zeros(n)
+    for s, _, w in edges:
+        out_w[idx[s]] += w if weighted else 1.0
+    r = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        contrib = np.zeros(n)
+        for s, d, w in edges:
+            ww = w if weighted else 1.0
+            contrib[idx[d]] += r[idx[s]] * ww / out_w[idx[s]]
+        dangling = r[out_w == 0].sum()
+        new = (1 - damping) / n + damping * (contrib + dangling / n)
+        delta = np.abs(new - r).max()
+        r = new
+        if delta < tol:
+            break
+    return {v: float(r[idx[v]]) for v in verts}
+
+
+def components_oracle(edges: list[tuple[str, str, float]]) -> dict[str, str]:
+    """Weakly-connected components; label = min conv_id of the component."""
+    verts = {s for s, _, _ in edges} | {d for _, d, _ in edges}
+    parent = {v: v for v in verts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d, _ in edges:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    # compress to min id per component
+    comp_members = defaultdict(list)
+    for v in verts:
+        comp_members[find(v)].append(v)
+    return {v: min(members) for members in comp_members.values() for v in members}
+
+
+def lpa_oracle(
+    edges: list[tuple[str, str, float]], n_iter: int = 5
+) -> dict[str, str]:
+    """Deterministic synchronous LPA: undirected weighted neighbor tally,
+    argmax weight, tie-break min label — mirrors operators/lpa.py."""
+    verts = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    w = defaultdict(float)
+    for s, d, wt in edges:
+        if s != d:
+            w[(s, d)] += wt
+            w[(d, s)] += wt
+    neighbors = defaultdict(set)
+    for (u, v) in w:
+        neighbors[u].add(v)
+    labels = {v: v for v in verts}
+    for _ in range(n_iter):
+        new = {}
+        for v in verts:
+            if not neighbors[v]:
+                new[v] = labels[v]
+                continue
+            tally = defaultdict(float)
+            for u in neighbors[v]:
+                tally[labels[u]] += w[(u, v)]
+            best = max(tally.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0]]))
+            # tie-break min label: re-derive explicitly
+            mx = max(tally.values())
+            new[v] = min(l for l, t in tally.items() if t == mx)
+        labels = new
+    return labels
+
+
+def triangles_oracle(edges: list[tuple[str, str, float]]) -> int:
+    """trace(A³)/6 over the undirected simple graph."""
+    verts = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    a = np.zeros((n, n), dtype=np.int64)
+    for s, d, _ in edges:
+        if s != d:
+            a[idx[s], idx[d]] = 1
+            a[idx[d], idx[s]] = 1
+    return int(np.trace(a @ a @ a) // 6)

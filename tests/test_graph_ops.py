@@ -1,0 +1,136 @@
+"""L3 graph analytics vs pure-Python/numpy oracles (SURVEY.md §5):
+PageRank allclose(1e-6), CC/LPA/triangles exact. Golden shapes + the
+seeded Zipf graph."""
+
+import pytest
+
+from unarxive_spark.datagen import golden_graphs
+from unarxive_spark.operators.components import connected_components
+from unarxive_spark.operators.lpa import label_propagation
+from unarxive_spark.operators.pagerank import pagerank
+from unarxive_spark.operators.triangles import triangle_count
+
+from tests.oracles import (
+    components_oracle,
+    lpa_oracle,
+    pagerank_oracle,
+    triangles_oracle,
+)
+
+
+def _rows(edges_df):
+    return [
+        (r["src_conv_id"], r["dst_conv_id"], r["weight"])
+        for r in edges_df.collect()
+    ]
+
+
+@pytest.fixture(scope="module")
+def goldens(spark):
+    return golden_graphs(spark)
+
+
+# ---------------- PageRank ----------------
+
+
+@pytest.mark.parametrize(
+    "name", ["chain", "star", "two_components", "triangle", "self_loop"]
+)
+def test_pagerank_golden(goldens, name):
+    df = goldens[name]
+    res = pagerank(df, tol=1e-9, max_iter=200)
+    assert res.converged
+    got = {r["conv_id"]: r["rank"] for r in res.ranks.collect()}
+    want = pagerank_oracle(_rows(df), tol=1e-9, max_iter=200)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6, (name, v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conservation
+
+
+def test_pagerank_zipf_graph(edges_small):
+    res = pagerank(edges_small, tol=1e-8, max_iter=100)
+    assert res.converged
+    got = {r["conv_id"]: r["rank"] for r in res.ranks.collect()}
+    want = pagerank_oracle(_rows(edges_small), tol=1e-8, max_iter=100)
+    assert len(got) == len(want)
+    worst = max(abs(got[v] - want[v]) for v in want)
+    assert worst < 1e-6, worst
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # hub fixture: a hub vertex holds the top PageRank
+    top = max(got, key=got.get)
+    assert top in {f"c{i:06d}" for i in range(5)}
+
+
+def test_pagerank_unweighted_differs(goldens):
+    # star with a doubled-weight edge: weighted vs unweighted must differ
+    df = goldens["star"]
+    spark = df.sparkSession
+    df2 = spark.createDataFrame(
+        [("c000001", "c000000", 5.0), ("c000001", "c000005", 1.0)]
+        + [(f"c{i:06d}", "c000000", 1.0) for i in range(2, 6)],
+        "src_conv_id string, dst_conv_id string, weight double",
+    )
+    rw = pagerank(df2, tol=1e-9, weighted=True)
+    ru = pagerank(df2, tol=1e-9, weighted=False)
+    got_w = {r["conv_id"]: r["rank"] for r in rw.ranks.collect()}
+    got_u = {r["conv_id"]: r["rank"] for r in ru.ranks.collect()}
+    assert abs(got_w["c000000"] - got_u["c000000"]) > 1e-4
+    for flag, got in [(True, got_w), (False, got_u)]:
+        want = pagerank_oracle(_rows(df2), tol=1e-9, weighted=flag)
+        assert all(abs(got[v] - want[v]) < 1e-6 for v in want)
+
+
+# ---------------- Connected components ----------------
+
+
+@pytest.mark.parametrize(
+    "name", ["chain", "star", "two_components", "triangle", "self_loop"]
+)
+def test_components_golden(goldens, name):
+    df = goldens[name]
+    res = connected_components(df)
+    assert res.converged
+    got = {r["conv_id"]: r["component"] for r in res.components.collect()}
+    assert got == components_oracle(_rows(df))
+
+
+def test_components_zipf(edges_small):
+    res = connected_components(edges_small)
+    assert res.converged
+    got = {r["conv_id"]: r["component"] for r in res.components.collect()}
+    assert got == components_oracle(_rows(edges_small))
+
+
+# ---------------- Label propagation ----------------
+
+
+@pytest.mark.parametrize("name", ["chain", "star", "two_components", "triangle"])
+def test_lpa_golden(goldens, name):
+    df = goldens[name]
+    res = label_propagation(df, n_iter=4)
+    got = {r["conv_id"]: r["label"] for r in res.labels.collect()}
+    assert got == lpa_oracle(_rows(df), n_iter=4)
+
+
+def test_lpa_zipf(edges_small):
+    res = label_propagation(edges_small, n_iter=3)
+    got = {r["conv_id"]: r["label"] for r in res.labels.collect()}
+    want = lpa_oracle(_rows(edges_small), n_iter=3)
+    assert got == want
+
+
+# ---------------- Triangles ----------------
+
+
+@pytest.mark.parametrize(
+    "name,expect",
+    [("chain", 0), ("star", 0), ("triangle", 1), ("self_loop", 0)],
+)
+def test_triangles_golden(goldens, name, expect):
+    df = goldens[name]
+    assert triangle_count(df) == expect == triangles_oracle(_rows(df))
+
+
+def test_triangles_zipf(edges_small):
+    assert triangle_count(edges_small) == triangles_oracle(_rows(edges_small))

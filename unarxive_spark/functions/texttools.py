@@ -1,0 +1,189 @@
+"""Text-analysis functions for training-data pipelines (task brief:
+language-ID, quality scoring, token counting, document fingerprinting).
+
+All pure Spark built-ins (JVM codegen) with DuckDB-SQL parity renderings
+so each ships with a driver oracle. Reference precedent for this layer:
+the reference's license classifier / length predicates / section maps
+(/root/reference/src/utility_scripts/calc_stats.py:56-87,
+ml_tasks_prep_data.py:226-276).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets — an n-gram/stopword heuristic.
+# Deliberately deterministic + portable: language = argmax stopword hits.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is"],
+    "de": ["der", "und", "die", "ist"],
+    "fr": ["le", "et", "les", "est"],
+    "es": ["el", "y", "los", "es"],
+    "zh": ["的", "是", "了", "在"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (empty strings dropped)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def token_count_sql(expr: str) -> str:
+    return (
+        f"len(list_filter(string_split_regex(trim({expr}), '\\s+'), "
+        "t -> t != ''))"
+    )
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish subword proxy: count of word/number/punct chunks.
+
+    A real tokenizer isn't in this container; this regex chunking
+    (letters runs, digit runs, single punctuation) is the standard cheap
+    proxy and is fully JVM-side.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0)
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic quality score in [0,1]: mean of
+    - length score: min(1, chars/200)    (length predicate analog,
+      /root/reference/src/utility_scripts/ml_tasks_prep_data.py:274-276)
+    - alpha ratio: letters / chars
+    - non-punct ratio: 1 - punct/chars
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c).cast("double")
+    letters = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
+    punct = F.length(
+        F.regexp_replace(c, r"[^!-/:-@\[-`{-~]", "")
+    ).cast("double")
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        (
+            F.least(F.lit(1.0), n / F.lit(200.0))
+            + letters / n
+            + (F.lit(1.0) - punct / n)
+        )
+        / F.lit(3.0)
+    )
+
+
+def quality_score_sql(expr: str) -> str:
+    n = f"CAST(length({expr}) AS DOUBLE)"
+    letters = f"CAST(length(regexp_replace({expr}, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+    punct = (
+        f"CAST(length(regexp_replace({expr}, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)"
+    )
+    return (
+        f"CASE WHEN {n} = 0 THEN 0.0 ELSE "
+        f"(least(1.0, {n}/200.0) + {letters}/{n} + (1.0 - {punct}/{n})) / 3.0 END"
+    )
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-marker language ID: argmax hit count, tie → 'und'→first
+    alphabetically among winners; zero hits → 'und'."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(F.lower(c))
+    # argmin over (-hits, lang) structs — deterministic tie-break
+    struct_scores = F.array(
+        *[
+            F.struct(
+                (-F.size(
+                    F.filter(
+                        toks,
+                        lambda t, ms=tuple(markers): t.isin(list(ms)),
+                    )
+                )).alias("neg"),
+                F.lit(lang).alias("lang"),
+                F.size(
+                    F.filter(
+                        toks,
+                        lambda t, ms=tuple(markers): t.isin(list(ms)),
+                    )
+                ).alias("hits"),
+            )
+            for lang, markers in LANG_MARKERS.items()
+        ]
+    )
+    best = F.array_min(struct_scores)
+    return F.when(best["hits"] <= 0, F.lit("und")).otherwise(best["lang"])
+
+
+def lang_id_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`lang_id` (argmin over (-hits, lang))."""
+    toks = f"list_filter(string_split_regex(trim(lower({expr})), '\\s+'), t -> t != '')"
+    structs = []
+    for lang, markers in LANG_MARKERS.items():
+        inlist = ", ".join(f"'{m}'" for m in markers)
+        hits = f"len(list_filter({toks}, t -> t IN ({inlist})))"
+        structs.append(
+            f"{{'neg': -{hits}, 'lang': '{lang}', 'hits': {hits}}}"
+        )
+    arr = "[" + ", ".join(structs) + "]"
+    return (
+        f"CASE WHEN list_min({arr}).hits <= 0 THEN 'und' "
+        f"ELSE list_min({arr}).lang END"
+    )
+
+
+def fingerprint(col: Column | str, k: int = 8) -> Column:
+    """Document fingerprint: md5-derived 60-bit hash of the k-gram set's
+    min-hash — a cheap rolling-hash-style signature (winnowing-lite).
+
+    Implemented as min over word 3-gram hashes — deterministic, portable.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(F.lower(c))
+    n = F.size(toks)
+    grams = F.when(n < 3, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(
+                " ", toks[i], toks[i + 1], toks[i + 2]
+            ),
+        )
+    )
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
+    return F.array_min(hashes)
+
+
+def fingerprint_sql(expr: str) -> str:
+    toks = f"list_filter(string_split_regex(trim(lower({expr})), '\\s+'), t -> t != '')"
+    grams = (
+        f"CASE WHEN len({toks}) < 3 THEN [array_to_string({toks}, ' ')] "
+        f"ELSE [array_to_string({toks}[i:i+2], ' ') FOR i IN range(1, len({toks}) - 1)] END"
+    )
+    return (
+        f"list_min(list_transform({grams}, "
+        f"g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)))"
+    )
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Word k-shingles (for MinHash / Jaccard dedup)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(F.lower(c))
+    n = F.size(toks)
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.concat_ws(
+                    " ", *[toks[i + j] for j in range(k)]
+                ),
+            )
+        )
+    )

@@ -1,0 +1,328 @@
+"""Deduplication suite for training-data pipelines (task brief):
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Design: every method reduces to *candidate generation by key equality*
+(hash bucket / band / simhash block) followed by *verification* — i.e.
+shuffles only on compact keys, never all-pairs. All hashing is the
+portable md5-derived :mod:`unarxive_spark.functions.hashing` so the
+DuckDB oracle reproduces bucket assignments bit-for-bit.
+
+Reference precedent: content-hash identity dedup —
+``sha1(normalized_text + scope)`` keys collapsing identical bib entries
+(/root/reference/src/parse_latex_tralics.py:460-474).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from unarxive_spark.functions.hashing import h64, minhash_term
+from unarxive_spark.functions.texttools import shingles, tokens
+
+
+# ---------- exact ----------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-id representative per exact (whitespace-normalized)
+    text hash. One shuffle on the 60-bit hash key."""
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    keyed = df.withColumn("_k", h64(norm))
+    w = Window.partitionBy("_k").orderBy(F.col(id_col))
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_k", "_rn")
+    )
+
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(hash, n_dups, representative) for groups with >1 member."""
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return (
+        df.select(h64(norm).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("representative"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------- MinHash + LSH ----------
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>[n_perm]) — min over salted shingle hashes.
+
+    Stays columnar: shingling + per-permutation min happen inside array
+    HOFs (``transform``/``array_min``) — no explode, no Python.
+    """
+    sh = shingles(text_col, k=shingle_k)
+    sig = F.array(
+        *[F.array_min(F.transform(sh, lambda s, p=p: minhash_term(s, p))) for p in range(n_perm)]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH: docs sharing any band of
+    rows_per_band consecutive signature slots. Returns (id_a, id_b,
+    est_jaccard) with id_a < id_b; est_jaccard = matching-perm fraction.
+
+    Scale shape: explode to (band_key, id) — |docs|×bands rows — then a
+    self-join *within buckets only* (equi-join on band hash), never
+    all-pairs.
+    """
+    rows_per_band = n_perm // bands
+    sigs = minhash_signature(df, text_col, id_col, n_perm, shingle_k)
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.sha1(
+                            F.concat_ws(
+                                "|",
+                                F.lit(b),
+                                *[
+                                    F.col("sig")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", F.col("bk.bkey").alias("bkey"))
+    pairs = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+                lambda x: x,
+            )
+        ).cast("double")
+        / F.lit(float(n_perm))
+    )
+    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+# ---------- SimHash ----------
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """(id, simhash long): sign-aggregated token hashes.
+
+    Bit b of the signature = 1 iff Σ_tokens sign(bit b of h64(token)) > 0.
+    Columnar: per-bit tallies via aggregate() HOF over the token array.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    hashes = F.transform(toks, lambda t: h64(t))
+    bit_exprs = []
+    for b in range(bits):
+        tally = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h, bb=b: acc
+            + F.when(F.shiftright(h, bb) % 2 == 1, 1).otherwise(-1),
+        )
+        bit_exprs.append(
+            F.when(tally > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+        )
+    sig = sum(bit_exprs[1:], bit_exprs[0])
+    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole blocking: split the signature into ``blocks`` chunks; any
+    pair within hamming ≤ blocks-1 shares ≥1 exact chunk → candidate join
+    on chunk value, then exact hamming verification via bit_count(xor).
+    """
+    sigs = simhash(df, text_col, id_col, bits)
+    chunk = bits // blocks
+    mask = (1 << chunk) - 1
+    blocked = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        (
+                            F.shiftright("simhash", i * chunk)
+                            % F.lit(mask + 1)
+                        ).alias("bval"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", F.col("b.blk").alias("blk"), F.col("b.bval").alias("bval"))
+    cands = (
+        blocked.alias("l")
+        .join(
+            blocked.alias("r"),
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.bval") == F.col("r.bval"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.simhash").alias("sa"),
+            F.col("r.simhash").alias("sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cands.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------- n-gram Jaccard ----------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard over word k-shingles for pairs sharing ≥1 shingle.
+
+    Shuffle shape: explode distinct shingles → self-join on shingle
+    (inverted index), count shared per pair, |A∪B| = |A|+|B|-shared.
+    Quadratic only within identical-shingle posting lists — the standard
+    inverted-index verification join.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, k=k)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    shared = (
+        sh.alias("l")
+        .join(
+            sh.alias("r"),
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .groupBy(
+            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_shared")
+                / (F.col("na") + F.col("nb") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------- embedding cosine ----------
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_buckets_hint: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by cosine similarity ≥ threshold.
+
+    Brute-force within-join; for scale, pre-bucket by a random-hyperplane
+    sign sketch (see similarity.lsh_ann) — this variant is the exact
+    verifier used in tests and at moderate |candidates|.
+    """
+    norm = F.sqrt(
+        F.aggregate(
+            vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+        )
+    )
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm.alias("norm"),
+    ).filter(F.col("norm") > 0)
+    pairs = v.alias("l").join(
+        v.alias("r"), F.col("l.id") < F.col("r.id")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("l.vec"),
+            F.col("r.vec"),
+            lambda a, b: a.cast("double") * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return pairs.select(
+        F.col("l.id").alias("id_a"),
+        F.col("r.id").alias("id_b"),
+        (dot / (F.col("l.norm") * F.col("r.norm"))).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)

@@ -1,0 +1,113 @@
+"""Label propagation (community detection) — deterministic synchronous
+variant (north rule; SURVEY.md §5 "LPA is NOT deterministic under ties →
+define deterministic tie-break (min label)").
+
+Rule per superstep (synchronous; matched exactly by the pure-Python
+oracle in tests):
+- neighbor labels are counted over the **undirected** adjacency,
+  weighted by edge weight (both directions carry the weight);
+- new label = the label with max total weight; ties broken by **min
+  label**; isolated vertices keep their label;
+- fixed ``n_iter`` supersteps (synchronous LPA can oscillate on
+  bipartite structures, so exact-match semantics pin the iteration
+  count rather than a fixpoint).
+
+Shape: join + two-stage agg (count by (vertex,label), then argmax via
+max_by with a struct tie-break) — same partitioning story as PageRank.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from unarxive_spark.sources.checkpoint import CheckpointManager
+
+
+@dataclass
+class LPAResult:
+    labels: DataFrame  # conv_id, label
+    iterations: int
+
+
+def _undirected_weighted(edges: DataFrame) -> DataFrame:
+    fwd = edges.select(
+        F.col("src_conv_id").alias("u"),
+        F.col("dst_conv_id").alias("v"),
+        "weight",
+    )
+    rev = edges.select(
+        F.col("dst_conv_id").alias("u"),
+        F.col("src_conv_id").alias("v"),
+        "weight",
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.sum("weight").alias("w"))
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 5,
+    checkpoint_dir: str | None = None,
+) -> LPAResult:
+    spark = edges.sparkSession
+    ckpt = CheckpointManager(spark, checkpoint_dir)
+
+    vertices = (
+        edges.select(F.col("src_conv_id").alias("conv_id"))
+        .unionByName(edges.select(F.col("dst_conv_id").alias("conv_id")))
+        .distinct()
+    )
+    adj = _undirected_weighted(edges).repartition("u").cache()
+    adj.count()
+
+    resumed = ckpt.last_committed()
+    if resumed is not None:
+        labels = ckpt.restore(resumed)
+        start = resumed + 1
+    else:
+        labels = vertices.select("conv_id", F.col("conv_id").alias("label"))
+        start = 0
+
+    it = start
+    for it in range(start, n_iter):
+        # gather neighbor labels: v receives u's label with weight w
+        received = adj.join(
+            labels.withColumnRenamed("conv_id", "u"), "u"
+        ).select(F.col("v").alias("conv_id"), "label", "w")
+        tallies = received.groupBy("conv_id", "label").agg(
+            F.sum("w").alias("tw")
+        )
+        # argmax weight, tie-break min label: max_by over (tw, reversed label)
+        # implemented as max(struct(tw desc-proxy…)) — use min over struct
+        # (negative weight, label) for a single deterministic pass.
+        winner = tallies.groupBy("conv_id").agg(
+            F.min(F.struct((-F.col("tw")).alias("nw"), F.col("label"))).alias(
+                "m"
+            )
+        ).select("conv_id", F.col("m.label").alias("label"))
+        new_labels = (
+            vertices.join(winner, "conv_id", "left")
+            .join(
+                labels.withColumnRenamed("label", "old_label"), "conv_id"
+            )
+            .select(
+                "conv_id",
+                F.coalesce(F.col("label"), F.col("old_label")).alias("label"),
+            )
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "conv_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = ckpt.commit(it, new_labels, "n_changed", float(n_changed))
+
+    return LPAResult(labels, it + 1 if n_iter > start else 0)

@@ -1,0 +1,157 @@
+"""PageRank as DataFrame join/agg supersteps (no GraphX/GraphFrames).
+
+Semantics (matched 1e-6 by the numpy oracle in tests/test_pagerank.py):
+- damping d (default 0.85), uniform teleport (1-d)/N
+- **weighted** transition: P(u→v) = weight(u,v) / Σ_w weight(u,w)
+- **dangling mass**: rank of vertices with no out-edges is redistributed
+  uniformly each superstep (Σ ranks stays 1 exactly)
+- convergence on max|Δrank| < tol
+
+Superstep dataflow (SURVEY.md §7 L3):
+    ranks ⋈ edges_norm ON src           (big-big: both sides
+                                         hash-partitioned on the join key;
+                                         AQE handles residual skew)
+    → salted_sum over dst               (skew-bounded gather, map-side
+                                         partial agg + bounded reduce keys)
+    → left join onto vertices, fill 0   (vertices w/o in-edges)
+    → damping + dangling redistribution (scalar broadcast)
+    → CheckpointManager.commit          (plan truncation + resume lineage)
+
+The edge table is normalized and repartitioned by ``src_conv_id`` ONCE
+and cached: per-iteration work reuses that layout, so only the small
+ranks side shuffles each superstep (SURVEY.md §4.3).
+
+Reference analog: the reference has no PageRank; this is the north-rule
+analytics layer over its citation network (README.md:27-32), with
+``calc_stats``-style per-iteration metrics logged to the lineage table
+(/root/reference/src/match_references_openalex.py:637-661 precedent).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from unarxive_spark.operators.skew import salted_sum
+from unarxive_spark.sources.checkpoint import CheckpointManager
+
+RANK_SCHEMA = "conv_id string, rank double"
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame
+    iterations: int
+    converged: bool
+    deltas: list[float] = field(default_factory=list)
+
+
+def _vertices(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src_conv_id").alias("conv_id"))
+        .unionByName(edges.select(F.col("dst_conv_id").alias("conv_id")))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    weighted: bool = True,
+    checkpoint_dir: str | None = None,
+    n_salts: int = 16,
+    vertices: DataFrame | None = None,
+) -> PageRankResult:
+    """Run PageRank to convergence. ``checkpoint_dir`` enables resumable
+    per-iteration commits; a rerun with the same dir continues from the
+    last committed superstep."""
+    spark = edges.sparkSession
+    ckpt = CheckpointManager(spark, checkpoint_dir)
+
+    if vertices is None:
+        vertices = _vertices(edges)
+    vertices = vertices.repartition("conv_id").cache()
+    n = vertices.count()
+    if n == 0:
+        empty = spark.createDataFrame([], RANK_SCHEMA)
+        return PageRankResult(empty, 0, True)
+
+    w = F.col("weight") if weighted else F.lit(1.0)
+    out_norm = edges.groupBy("src_conv_id").agg(F.sum(w).alias("out_w"))
+    # transition probability per edge, fixed across iterations
+    edges_norm = (
+        edges.join(out_norm, "src_conv_id")
+        .select(
+            F.col("src_conv_id").alias("src"),
+            F.col("dst_conv_id").alias("dst"),
+            (w / F.col("out_w")).alias("p"),
+        )
+        .repartition("src")
+        .cache()
+    )
+    edges_norm.count()  # materialize the co-partitioned layout once
+
+    # dangling = vertices with no out-edges (their mass teleports)
+    dangling = vertices.join(
+        edges.select(F.col("src_conv_id").alias("conv_id")).distinct(),
+        "conv_id",
+        "left_anti",
+    ).cache()
+
+    start_iter = 0
+    resumed = ckpt.last_committed()
+    if resumed is not None:
+        ranks = ckpt.restore(resumed)
+        start_iter = resumed + 1
+    else:
+        ranks = vertices.select(
+            "conv_id", F.lit(1.0 / n).alias("rank")
+        )
+
+    deltas: list[float] = []
+    converged = False
+    it = start_iter
+    for it in range(start_iter, max_iter):
+        d_mass = (
+            ranks.join(dangling, "conv_id", "left_semi")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        contribs = edges_norm.join(
+            ranks.withColumnRenamed("conv_id", "src"), "src"
+        ).select("src", "dst", (F.col("p") * F.col("rank")).alias("c"))
+        gathered = salted_sum(
+            contribs, key="dst", value=F.sum("c"), out="g",
+            salt_from="src", n_salts=n_salts,
+        )
+        base = (1.0 - damping) / n + damping * d_mass / n
+        new_ranks = (
+            vertices.join(
+                gathered.withColumnRenamed("dst", "conv_id"), "conv_id", "left"
+            )
+            .select(
+                "conv_id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("g"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        delta = (
+            new_ranks.alias("n")
+            .join(ranks.alias("o"), "conv_id")
+            .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))))
+            .collect()[0][0]
+        )
+        deltas.append(float(delta))
+        ranks = ckpt.commit(it, new_ranks, "max_abs_delta", float(delta))
+        if delta < tol:
+            converged = True
+            break
+
+    return PageRankResult(ranks, it + 1, converged, deltas)

@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (task brief):
+brute-force cosine top-k baseline + random-hyperplane-LSH bucketed ANN
+as the scale path.
+
+Vector math stays columnar: ``zip_with`` + ``aggregate`` HOFs compile to
+JVM codegen — no Python, no UDF, for the dot products. The LSH sketch is
+built from the portable md5 hash so bucketing is deterministic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(v):
+    return F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact brute-force top-k: broadcast the (small) query set against
+    the corpus, window-rank per query.
+
+    Scale shape: corpus-side scan is embarrassingly parallel; the only
+    shuffle is the per-query top-k (rank over |queries|·k candidates
+    after per-partition pre-ranking by Catalyst's WindowExec... for large
+    corpora switch to groupBy(query).agg(min_by-topk) — here the window
+    keeps ties deterministic).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qv"),
+            _norm(F.col(query_vec_col)).alias("qnorm"),
+        )
+    )
+    c = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("norm"),
+    ).filter(F.col("norm") > 0)
+    scored = c.crossJoin(q).select(
+        "query_id",
+        "id",
+        (_dot(F.col("vec"), F.col("qv")) / (F.col("norm") * F.col("qnorm"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_sketch(
+    vec_col, n_planes: int = 16, dim: int = 64, seed: int = 42
+):
+    """Random-hyperplane sign sketch as an int bucket id.
+
+    Hyperplane h_p[j] = ±1 derived from md5(seed|p|j) — deterministic,
+    data-independent, reproducible across runs/engines. bucket bit p =
+    sign(Σ_j h_p[j]·v[j]).
+    """
+    bits = []
+    for p in range(n_planes):
+        # ±1 pattern for plane p — literal array baked into the plan
+        signs = [
+            1.0
+            if int(
+                hashlib.md5(f"{seed}|{p}|{j}".encode()).hexdigest()[:8], 16
+            )
+            % 2
+            == 0
+            else -1.0
+            for j in range(dim)
+        ]
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(s) for s in signs]),
+                lambda x, s: x.cast("double") * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(
+            F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
+        )
+    return sum(bits[1:], bits[0])
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 12,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    probe_hamming: int = 2,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket within
+    ``probe_hamming`` bits of the query's bucket (multi-probe via
+    bit_count on the join condition), exact cosine re-rank inside.
+
+    At 100 TB the corpus-side sketch is computed once and written
+    bucketed by ``bucket``; queries touch only matching buckets —
+    partition pruning instead of a full scan.
+    """
+    c = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("norm"),
+        hyperplane_sketch(F.col(vec_col), n_planes, dim).alias("bucket"),
+    ).filter(F.col("norm") > 0)
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qv"),
+            _norm(F.col(query_vec_col)).alias("qnorm"),
+            hyperplane_sketch(F.col(query_vec_col), n_planes, dim).alias(
+                "qbucket"
+            ),
+        )
+    )
+    cands = c.join(
+        q,
+        F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket")))
+        <= probe_hamming,
+    )
+    scored = cands.select(
+        "query_id",
+        "id",
+        (_dot(F.col("vec"), F.col("qv")) / (F.col("norm") * F.col("qnorm"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

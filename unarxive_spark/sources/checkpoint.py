@@ -1,0 +1,127 @@
+"""Per-iteration checkpointing with lineage + convergence metrics.
+
+North-rule requirement: iterative jobs are "checkpointed per-iteration
+... with per-partition lineage and convergence metrics so any run resumes
+mid-iteration". Reference analog: the batch resume protocol —
+``done.log`` append-after-each-unit (/root/reference/src/prepare.py:26-31,
+118-119) and per-chunk ``*-matching-log.json`` skip-scan
+(/root/reference/src/match_references_openalex.py:672-694), plus per-chunk
+runtime/success metrics (:637-661).
+
+Two jobs in one:
+1. **Lineage truncation** — each superstep's result is written to parquet
+   and re-read, cutting the logical plan that otherwise grows
+   O(iterations) and blows up Catalyst analysis time (SURVEY.md §4.1).
+2. **Resume** — a ``_lineage`` parquet table records, per iteration, a
+   per-partition row-count breakdown, the convergence metric, wall time,
+   and a commit marker. Restart reads the max committed iteration and
+   continues. The state write lands fully before the lineage commit row,
+   so a crash between the two replays one iteration (idempotent
+   overwrite) rather than corrupting state.
+
+On a real deployment the parquet directories become Iceberg tables
+(``writeTo(...).createOrReplace``/snapshots); the protocol is identical —
+we gate on parquet here because the sandbox ships no Iceberg catalog jar.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = (
+    "iteration int, status string, partition_id int, n_rows long, "
+    "metric_name string, metric_value double, wall_secs double"
+)
+
+
+class CheckpointManager:
+    """Manages ``{root}/iter=N`` state snapshots + ``{root}/_lineage``."""
+
+    def __init__(self, spark: SparkSession, root: str | None):
+        self.spark = spark
+        self.root = root.rstrip("/") if root else None
+        self._t0 = time.monotonic()
+
+    @property
+    def enabled(self) -> bool:
+        return self.root is not None
+
+    def _state_path(self, iteration: int) -> str:
+        return f"{self.root}/iter={iteration:05d}"
+
+    # -- write side ---------------------------------------------------
+
+    def commit(
+        self,
+        iteration: int,
+        state: DataFrame,
+        metric_name: str,
+        metric_value: float,
+    ) -> DataFrame:
+        """Persist one superstep: state parquet, then lineage commit row.
+
+        Returns the re-read state (plan lineage truncated). When disabled,
+        falls back to ``localCheckpoint`` — same truncation, no resume.
+        """
+        if not self.enabled:
+            return state.localCheckpoint(eager=True)
+        path = self._state_path(iteration)
+        state.write.mode("overwrite").parquet(path)
+        reread = self.spark.read.parquet(path)
+        per_part = (
+            reread.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(
+                F.lit(iteration).alias("iteration"),
+                F.lit("committed").alias("status"),
+                "partition_id",
+                "n_rows",
+                F.lit(metric_name).alias("metric_name"),
+                F.lit(float(metric_value)).alias("metric_value"),
+                F.lit(time.monotonic() - self._t0).alias("wall_secs"),
+            )
+        )
+        per_part.write.mode("append").parquet(f"{self.root}/_lineage")
+        return reread
+
+    # -- read side ----------------------------------------------------
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.schema(LINEAGE_SCHEMA).parquet(
+            f"{self.root}/_lineage"
+        )
+
+    def last_committed(self) -> int | None:
+        """Max committed iteration, or None if fresh."""
+        if not self.enabled:
+            return None
+        try:
+            row = (
+                self.lineage()
+                .filter(F.col("status") == "committed")
+                .agg(F.max("iteration").alias("it"))
+                .collect()[0]
+            )
+        except Exception:  # noqa: BLE001 — no lineage yet
+            return None
+        return row["it"] if row["it"] is not None else None
+
+    def restore(self, iteration: int) -> DataFrame:
+        return self.spark.read.parquet(self._state_path(iteration))
+
+    def metrics(self) -> DataFrame:
+        """Convergence-metric time series (one row per iteration)."""
+        return (
+            self.lineage()
+            .filter(F.col("status") == "committed")
+            .groupBy("iteration", "metric_name")
+            .agg(
+                F.first("metric_value").alias("metric_value"),
+                F.sum("n_rows").alias("n_rows"),
+                F.max("wall_secs").alias("wall_secs"),
+            )
+            .orderBy("iteration")
+        )
