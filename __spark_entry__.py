@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship pipeline (events → transcripts → edge mining
+→ PageRank) at sf0.001. ``queries``/``oracle_sql`` expose every
+implemented operator from SURVEY.md §2 with a DuckDB oracle; graph
+queries derive the transcripts table deterministically from ``events``
+in BOTH engines so even PageRank/CC/triangles are value-checked.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: transcript-derived citation graph → PageRank top-20."""
+    from pyspark.sql import functions as F
+
+    from unarxive_spark.operators.edges import build_edges
+    from unarxive_spark.operators.pagerank import pagerank
+    from unarxive_spark.plans.driver_queries import transcripts_from_events
+
+    t = transcripts_from_events(spark, "/root/testdata/sf0.001")
+    edges = build_edges(t)
+    res = pagerank(edges, tol=1e-8, max_iter=60)
+    return res.ranks.orderBy(F.desc("rank"), F.asc("conv_id")).limit(20)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from unarxive_spark.plans.driver_queries import GRAPH_QUERIES
+    from unarxive_spark.plans.tabular_queries import TABULAR_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {**GRAPH_QUERIES, **TABULAR_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from unarxive_spark.plans.driver_queries import GRAPH_ORACLES
+    from unarxive_spark.plans.tabular_queries import TABULAR_ORACLES
+
+    return {**GRAPH_ORACLES, **TABULAR_ORACLES}

@@ -1,0 +1,118 @@
+"""Dedup suite: exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
+cosine — against brute-force Python oracles on the documents table."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from unarxive_spark.operators.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_dup_pairs,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    base = spark.read.parquet(DOCS).limit(60)
+    # inject exact + near duplicates deterministically
+    dup = base.filter("doc_id < 5").select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.col("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    near = base.filter("doc_id >= 5 AND doc_id < 8").select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailword")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return base.unionByName(dup).unionByName(near).cache()
+
+
+def test_exact_dedup(docs_with_dups):
+    n = docs_with_dups.count()
+    kept = exact_dedup(docs_with_dups)
+    assert kept.count() == n - 5
+    # representative is the min doc_id
+    groups = {r["representative"] for r in exact_dup_groups(docs_with_dups).collect()}
+    assert groups == {0, 1, 2, 3, 4}
+    # idempotent
+    assert exact_dedup(kept).count() == kept.count()
+
+
+def _jaccard(a: str, b: str, k: int = 3) -> float:
+    def sh(s):
+        t = s.lower().split()
+        if len(t) < k:
+            return {" ".join(t)}
+        return {" ".join(t[i : i + k]) for i in range(len(t) - k + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_ngram_jaccard_exact_vs_bruteforce(docs_with_dups):
+    rows = {r["doc_id"]: r["text"] for r in docs_with_dups.collect()}
+    thr = 0.8
+    want = set()
+    for a, b in itertools.combinations(sorted(rows), 2):
+        if _jaccard(rows[a], rows[b]) >= thr:
+            want.add((a, b))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs_with_dups, threshold=thr).collect()
+    }
+    assert got == want and len(want) >= 8  # exact dups + near dups found
+
+
+def test_minhash_lsh_finds_dups(docs_with_dups):
+    pairs = minhash_lsh_pairs(
+        docs_with_dups, n_perm=16, bands=8
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    # all 5 exact-dup pairs found with estimate 1.0
+    for i in range(5):
+        assert got.get((i, i + 100000)) == 1.0
+    # signature determinism
+    s1 = {r["id"]: r["sig"] for r in minhash_signature(docs_with_dups).collect()}
+    s2 = {r["id"]: r["sig"] for r in minhash_signature(docs_with_dups).collect()}
+    assert s1 == s2
+
+
+def test_simhash_dups(docs_with_dups):
+    sigs = {r["id"]: r["simhash"] for r in simhash(docs_with_dups).collect()}
+    # exact dups → identical simhash
+    for i in range(5):
+        assert sigs[i] == sigs[i + 100000]
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_dup_pairs(docs_with_dups, max_hamming=3).collect()
+    }
+    for i in range(5):
+        assert got.get((i, i + 100000)) == 0
+
+
+def test_embedding_dups(spark):
+    emb = spark.read.parquet(EMB).limit(40)
+    dup = emb.filter("vec_id < 3").select(
+        (F.col("vec_id") + 50000).alias("vec_id"), "embedding", "label"
+    )
+    both = emb.unionByName(dup)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(both, threshold=0.999).collect()
+    }
+    assert {(i, i + 50000) for i in range(3)} <= got

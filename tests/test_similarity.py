@@ -1,0 +1,77 @@
+"""ANN similarity search: brute-force exactness vs numpy, LSH recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from unarxive_spark.operators.similarity import cosine_topk, lsh_ann_topk
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(EMB).cache()
+
+
+@pytest.fixture(scope="module")
+def queries(spark, emb):
+    return (
+        emb.filter("vec_id < 3")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        .cache()
+    )
+
+
+def _numpy_topk(emb_rows, q_rows, k):
+    ids = [r["vec_id"] for r in emb_rows]
+    m = np.array([r["embedding"] for r in emb_rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    out = {}
+    for q in q_rows:
+        v = np.array(q["query_vec"], dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        cos = m @ v
+        order = sorted(zip(-cos, ids))  # desc cosine, asc id tie-break
+        out[q["query_id"]] = [i for _, i in order[:k]]
+    return out
+
+
+def test_bruteforce_matches_numpy(emb, queries):
+    k = 10
+    got_df = cosine_topk(emb, queries, k=k).collect()
+    got = {}
+    for r in sorted(got_df, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(r["id"])
+    want = _numpy_topk(emb.collect(), queries.collect(), k)
+    assert got == want
+    # query itself is its own nearest neighbor
+    for qid, ids in got.items():
+        assert ids[0] == qid
+
+
+def test_lsh_recall(emb, queries):
+    k = 10
+    exact = cosine_topk(emb, queries, k=k).collect()
+    approx = lsh_ann_topk(
+        emb, queries, k=k, n_planes=8, dim=64, probe_hamming=3
+    ).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / k for q in exact_sets
+    ]
+    # ANN quality floor: random 64-d embeddings are near-orthogonal, the
+    # hardest case for hyperplane LSH — on real clustered embeddings
+    # recall is far higher (near-dups at cosine≈1 collide with prob≈1).
+    assert sum(recalls) / len(recalls) >= 0.4
+    # self-match must always survive (identical sketch)
+    for q in exact_sets:
+        assert q in approx_sets.get(q, set())

@@ -94,26 +94,18 @@ def lang_id(col: Column | str) -> Column:
     alphabetically among winners; zero hits → 'und'."""
     c = F.col(col) if isinstance(col, str) else col
     toks = tokens(F.lower(c))
+
+    # factory keeps HOF lambdas single-parameter (a default-arg closure
+    # would make PySpark pass the array index as the second argument)
+    def lang_score(lang: str, markers: list[str]):
+        hits = F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        return F.struct(
+            (-hits).alias("neg"), F.lit(lang).alias("lang"), hits.alias("hits")
+        )
+
     # argmin over (-hits, lang) structs — deterministic tie-break
     struct_scores = F.array(
-        *[
-            F.struct(
-                (-F.size(
-                    F.filter(
-                        toks,
-                        lambda t, ms=tuple(markers): t.isin(list(ms)),
-                    )
-                )).alias("neg"),
-                F.lit(lang).alias("lang"),
-                F.size(
-                    F.filter(
-                        toks,
-                        lambda t, ms=tuple(markers): t.isin(list(ms)),
-                    )
-                ).alias("hits"),
-            )
-            for lang, markers in LANG_MARKERS.items()
-        ]
+        *[lang_score(lang, markers) for lang, markers in LANG_MARKERS.items()]
     )
     best = F.array_min(struct_scores)
     return F.when(best["hits"] <= 0, F.lit("und")).otherwise(best["lang"])

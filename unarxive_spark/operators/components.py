@@ -80,13 +80,16 @@ def connected_components(
             .groupBy("conv_id")
             .agg(F.min("component").alias("component"))
         )
+        # materialize once, then metric from the cheap re-scan
+        new_m = ckpt.write_state(it, new_labels)
         n_changed = (
-            new_labels.alias("n")
+            new_m.alias("n")
             .join(labels.alias("o"), "conv_id")
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels = ckpt.commit(it, new_labels, "n_changed", float(n_changed))
+        ckpt.log_lineage(it, new_m, "n_changed", float(n_changed))
+        labels = new_m
         if n_changed == 0:
             converged = True
             break

@@ -71,9 +71,13 @@ def minhash_signature(
     HOFs (``transform``/``array_min``) — no explode, no Python.
     """
     sh = shingles(text_col, k=shingle_k)
-    sig = F.array(
-        *[F.array_min(F.transform(sh, lambda s, p=p: minhash_term(s, p))) for p in range(n_perm)]
-    )
+
+    # NB: single-parameter lambdas only — a `lambda s, p=p:` closure makes
+    # PySpark bind the second param to the array INDEX column.
+    def perm_min(p: int):
+        return F.array_min(F.transform(sh, lambda s: minhash_term(s, p)))
+
+    sig = F.array(*[perm_min(p) for p in range(n_perm)])
     return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
@@ -162,14 +166,19 @@ def simhash(
     """
     toks = tokens(F.lower(F.col(text_col)))
     hashes = F.transform(toks, lambda t: h64(t))
-    bit_exprs = []
-    for b in range(bits):
-        tally = F.aggregate(
+
+    def bit_tally(b: int):
+        # factory keeps the aggregate lambda strictly 2-parameter
+        return F.aggregate(
             hashes,
             F.lit(0).cast("long"),
-            lambda acc, h, bb=b: acc
-            + F.when(F.shiftright(h, bb) % 2 == 1, 1).otherwise(-1),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b) % 2 == 1, 1).otherwise(-1),
         )
+
+    bit_exprs = []
+    for b in range(bits):
+        tally = bit_tally(b)
         bit_exprs.append(
             F.when(tally > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
         )

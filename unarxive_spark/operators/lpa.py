@@ -102,12 +102,14 @@ def label_propagation(
                 F.coalesce(F.col("label"), F.col("old_label")).alias("label"),
             )
         )
+        new_m = ckpt.write_state(it, new_labels)
         n_changed = (
-            new_labels.alias("n")
+            new_m.alias("n")
             .join(labels.alias("o"), "conv_id")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels = ckpt.commit(it, new_labels, "n_changed", float(n_changed))
+        ckpt.log_lineage(it, new_m, "n_changed", float(n_changed))
+        labels = new_m
 
     return LPAResult(labels, it + 1 if n_iter > start else 0)

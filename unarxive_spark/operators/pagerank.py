@@ -101,27 +101,29 @@ def pagerank(
         "conv_id",
         "left_anti",
     ).cache()
+    n_dangling = dangling.count()
 
     start_iter = 0
     resumed = ckpt.last_committed()
     if resumed is not None:
         ranks = ckpt.restore(resumed)
         start_iter = resumed + 1
-    else:
-        ranks = vertices.select(
-            "conv_id", F.lit(1.0 / n).alias("rank")
-        )
-
-    deltas: list[float] = []
-    converged = False
-    it = start_iter
-    for it in range(start_iter, max_iter):
         d_mass = (
             ranks.join(dangling, "conv_id", "left_semi")
             .agg(F.sum("rank"))
             .collect()[0][0]
             or 0.0
         )
+    else:
+        ranks = vertices.select(
+            "conv_id", F.lit(1.0 / n).alias("rank")
+        )
+        d_mass = n_dangling / n  # uniform init — no job needed
+
+    deltas: list[float] = []
+    converged = False
+    it = start_iter
+    for it in range(start_iter, max_iter):
         contribs = edges_norm.join(
             ranks.withColumnRenamed("conv_id", "src"), "src"
         ).select("src", "dst", (F.col("p") * F.col("rank")).alias("c"))
@@ -142,14 +144,33 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        delta = (
-            new_ranks.alias("n")
+        # Materialize the superstep exactly once (plan truncation +
+        # resumable state), THEN compute metrics from the cheap re-scan:
+        # one heavy evaluation + one scalar action per superstep
+        # (driver round-trips gate superstep rate at scale).
+        new_ranks_m = ckpt.write_state(it, new_ranks)
+        stats = (
+            new_ranks_m.alias("nr")
             .join(ranks.alias("o"), "conv_id")
-            .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))))
-            .collect()[0][0]
+            .join(
+                dangling.withColumn("_d", F.lit(1)), "conv_id", "left"
+            )
+            .agg(
+                F.max(
+                    F.abs(F.col("nr.rank") - F.col("o.rank"))
+                ).alias("delta"),
+                F.coalesce(
+                    F.sum(F.when(F.col("_d") == 1, F.col("nr.rank"))),
+                    F.lit(0.0),
+                ).alias("dmass"),
+            )
+            .collect()[0]
         )
-        deltas.append(float(delta))
-        ranks = ckpt.commit(it, new_ranks, "max_abs_delta", float(delta))
+        delta = float(stats["delta"])
+        d_mass = float(stats["dmass"])
+        deltas.append(delta)
+        ckpt.log_lineage(it, new_ranks_m, "max_abs_delta", delta)
+        ranks = new_ranks_m
         if delta < tol:
             converged = True
             break

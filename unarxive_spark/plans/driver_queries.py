@@ -1,0 +1,424 @@
+"""Driver-contract queries + DuckDB oracle SQL.
+
+Each ``QUERIES[name]`` is ``(spark, sf_dir) -> DataFrame``; each
+``ORACLES[name]`` is the equivalent DuckDB SQL over the driver's
+pre-registered views (region nation customer supplier part orders
+lineitem events documents embeddings). Column names/types are aligned
+on both sides — the driver hashes values after sorting columns by name.
+
+The transcripts table (BASELINE.json input_hint shape) is **derived
+deterministically from the `events` table in both engines** so the whole
+L1→L3 pipeline (mine → resolve → weight → PageRank/CC/triangles) is
+oracle-checkable end-to-end: conv_id = user, turn order = event order,
+and each event's ``props`` k-value seeds the cross-conversation
+references. ~25% of refs target conv ids ≥ the user population and never
+resolve — mirroring the reference's ~56% unlinked citations
+(/root/reference/README.md:28).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from unarxive_spark.functions.refs import extract_ref_ids
+from unarxive_spark.operators import degrees as deg
+from unarxive_spark.operators.edges import build_edges
+from unarxive_spark.operators.pagerank import pagerank
+
+# ---------------------------------------------------------------------
+# Shared derivation: events → transcripts (both engines)
+# ---------------------------------------------------------------------
+
+MOD = 200  # dst id space; ids >= |users| never resolve (unlinked refs)
+
+
+def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.regexp_extract("props", "[0-9]+", 0).cast("long")
+    dst1 = (F.col("user_id") * 7 + k) % MOD
+    dst2 = (F.col("user_id") + k * 3) % MOD
+    role = (
+        F.when(F.col("event_type").isin("click", "view"), F.lit("user"))
+        .when(
+            F.col("event_type").isin("purchase", "signup"), F.lit("assistant")
+        )
+        .otherwise(F.lit("tool"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.format_string("c%06d", F.col("user_id").cast("int")).alias(
+            "conv_id"
+        ),
+        (F.row_number().over(w) - 1).alias("turn_idx"),
+        role.alias("role"),
+        F.concat(
+            F.lit("turn "),
+            F.col("event_type"),
+            F.lit(" sees conv:"),
+            F.format_string("c%06d", dst1.cast("int")),
+        ).alias("text"),
+        F.when(
+            role == "tool",
+            F.concat(
+                F.lit("lookup(conv:"),
+                F.format_string("c%06d", dst2.cast("int")),
+                F.lit(")"),
+            ),
+        )
+        .otherwise(F.lit(""))
+        .alias("tool"),
+        F.col("ts"),
+    )
+
+
+# DuckDB CTE prefix deriving the identical transcripts + edges tables.
+_K = "CAST(regexp_extract(props, '[0-9]+') AS BIGINT)"
+TRANSCRIPTS_CTE = f"""
+transcripts AS (
+  SELECT
+    printf('c%06d', user_id) AS conv_id,
+    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+    CASE WHEN event_type IN ('click','view') THEN 'user'
+         WHEN event_type IN ('purchase','signup') THEN 'assistant'
+         ELSE 'tool' END AS role,
+    'turn ' || event_type || ' sees conv:' ||
+      printf('c%06d', (user_id * 7 + {_K}) % {MOD}) AS text,
+    CASE WHEN event_type NOT IN ('click','view','purchase','signup')
+         THEN 'lookup(conv:' || printf('c%06d', (user_id + {_K} * 3) % {MOD}) || ')'
+         ELSE '' END AS tool,
+    ts
+  FROM events
+)"""
+
+MINED_CTE = """
+mined AS (
+  SELECT conv_id AS src_conv_id,
+         unnest(regexp_extract_all(text || ' ' || tool,
+                                   'conv:([A-Za-z0-9_-]+)', 1)) AS ref_id
+  FROM transcripts
+),
+verts AS (SELECT DISTINCT conv_id FROM transcripts),
+edges AS (
+  SELECT src_conv_id, ref_id AS dst_conv_id,
+         CAST(count(*) AS DOUBLE) AS weight
+  FROM mined
+  WHERE src_conv_id != ref_id
+    AND ref_id IN (SELECT conv_id FROM verts)
+  GROUP BY 1, 2
+)"""
+
+GRAPH_PREFIX = f"WITH {TRANSCRIPTS_CTE.strip()},{MINED_CTE}"
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_edges(transcripts_from_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------
+# Graph-pipeline queries
+# ---------------------------------------------------------------------
+
+
+def q_transcripts(spark, sf_dir):
+    """L0/L1: the derived transcripts table (ts dropped: hash-stable cols)."""
+    return transcripts_from_events(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text", "tool"
+    )
+
+
+SQL_TRANSCRIPTS = (
+    f"WITH {TRANSCRIPTS_CTE.strip()} "
+    "SELECT conv_id, turn_idx, role, text, tool FROM transcripts"
+)
+
+
+def q_mine_refs(spark, sf_dir):
+    """P8/P13 analog: every marker occurrence (multiset semantics)."""
+    t = transcripts_from_events(spark, sf_dir)
+    refs = F.concat(extract_ref_ids("text"), extract_ref_ids("tool"))
+    return t.select(
+        F.col("conv_id").alias("src_conv_id"), F.explode(refs).alias("ref_id")
+    )
+
+
+SQL_MINE_REFS = f"{GRAPH_PREFIX} SELECT src_conv_id, ref_id FROM mined"
+
+
+def q_edges(spark, sf_dir):
+    """L2: resolved weighted edge table (J7 analog)."""
+    return _edges(spark, sf_dir)
+
+
+SQL_EDGES = (
+    f"{GRAPH_PREFIX} SELECT src_conv_id, dst_conv_id, weight FROM edges"
+)
+
+
+def q_degree_topk(spark, sf_dir):
+    """Most-cited conversations (A7-style top-k, deterministic ties)."""
+    return deg.top_cited(_edges(spark, sf_dir), k=20)
+
+
+SQL_DEGREE_TOPK = f"""{GRAPH_PREFIX}
+SELECT dst_conv_id AS conv_id,
+       CAST(count(*) AS BIGINT) AS in_degree,
+       SUM(weight) AS in_weight
+FROM edges GROUP BY 1
+ORDER BY in_weight DESC, conv_id ASC LIMIT 20"""
+
+
+PR_ITERS = 20
+
+
+def q_pagerank(spark, sf_dir):
+    """Fixed-20-superstep PageRank, scores rounded to 1e-6 for the
+    cross-engine hash compare (convergence-mode parity is covered by the
+    numpy-oracle pytest suite at 1e-6)."""
+    res = pagerank(
+        _edges(spark, sf_dir), damping=0.85, tol=-1.0, max_iter=PR_ITERS
+    )
+    return res.ranks.select(
+        "conv_id", F.round("rank", 6).alias("rank")
+    )
+
+
+SQL_PAGERANK = f"""{GRAPH_PREFIX},
+gverts AS (SELECT src_conv_id AS conv_id FROM edges
+           UNION SELECT dst_conv_id FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM gverts),
+outw AS (SELECT src_conv_id, SUM(weight) AS ow FROM edges GROUP BY 1),
+norm AS (SELECT src_conv_id AS src, dst_conv_id AS dst, weight / ow AS p
+         FROM edges JOIN outw USING (src_conv_id)),
+dangling AS (SELECT conv_id FROM gverts
+             WHERE conv_id NOT IN (SELECT src_conv_id FROM edges)),
+aug AS (
+  SELECT src, dst, p FROM norm
+  UNION ALL
+  SELECT d.conv_id, v.conv_id, 1e0 / (SELECT n FROM nn)
+  FROM dangling d CROSS JOIN gverts v
+  UNION ALL
+  SELECT conv_id, conv_id, 0e0 FROM gverts
+),
+pr AS (
+  WITH RECURSIVE prr(iter, conv_id, rank) AS (
+    SELECT 0, conv_id, 1e0 / (SELECT n FROM nn) FROM gverts
+    UNION ALL
+    SELECT iter + 1, a.dst,
+           0.15e0 / (SELECT n FROM nn) + 0.85e0 * SUM(a.p * prr.rank)
+    FROM prr JOIN aug a ON a.src = prr.conv_id
+    WHERE iter < {PR_ITERS}
+    GROUP BY 1, 2
+  ) SELECT * FROM prr
+)
+SELECT conv_id, round(rank, 6) AS rank FROM pr WHERE iter = {PR_ITERS}"""
+
+
+def q_components(spark, sf_dir):
+    """Hash-min connected components (exact labels)."""
+    from unarxive_spark.operators.components import connected_components
+
+    return connected_components(_edges(spark, sf_dir)).components
+
+
+SQL_COMPONENTS = f"""{GRAPH_PREFIX},
+und AS (SELECT src_conv_id AS u, dst_conv_id AS v FROM edges
+        UNION SELECT dst_conv_id, src_conv_id FROM edges),
+gverts AS (SELECT DISTINCT u AS conv_id FROM und),
+reach AS (
+  WITH RECURSIVE r(u, v) AS (
+    SELECT conv_id, conv_id FROM gverts
+    UNION
+    SELECT r.u, e.v FROM r JOIN und e ON e.u = r.v
+  ) SELECT * FROM r
+)
+SELECT u AS conv_id, min(v) AS component FROM reach GROUP BY u"""
+
+
+def q_triangles(spark, sf_dir):
+    """Total triangle count (single row)."""
+    from unarxive_spark.operators.triangles import canonical_edges
+
+    e = canonical_edges(_edges(spark, sf_dir))
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(F.col("e1.a").alias("x"), F.col("e2.b").alias("z"))
+    )
+    closed = wedges.join(
+        e.alias("e3"),
+        (F.col("x") == F.col("e3.a")) & (F.col("z") == F.col("e3.b")),
+        "left_semi",
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+SQL_TRIANGLES = f"""{GRAPH_PREFIX},
+und AS (SELECT src_conv_id AS u, dst_conv_id AS v FROM edges
+        UNION SELECT dst_conv_id, src_conv_id FROM edges),
+canon AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+          FROM und WHERE u != v)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM canon e1
+JOIN canon e2 ON e1.b = e2.a
+JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b"""
+
+
+# ---------------------------------------------------------------------
+# Reporting-layer queries (calc_stats analogs) on the derived vertices
+# ---------------------------------------------------------------------
+
+VERTS_CTE = f"""{GRAPH_PREFIX},
+pturn AS (
+  SELECT conv_id, ts,
+         len(regexp_extract_all(text || ' ' || tool,
+                                'conv:([A-Za-z0-9_-]+)', 1)) AS n_refs_turn
+  FROM transcripts
+),
+vbase AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(n_refs_turn) AS BIGINT) AS n_refs,
+         strftime(min(ts), '%Y-%m') AS month
+  FROM pturn GROUP BY 1
+),
+vlinked AS (
+  SELECT src_conv_id AS conv_id, CAST(count(*) AS BIGINT) AS n_refs_linked
+  FROM mined
+  WHERE src_conv_id != ref_id AND ref_id IN (SELECT conv_id FROM verts)
+  GROUP BY 1
+),
+vattrs AS (
+  SELECT b.conv_id, b.n_turns, b.n_refs,
+         COALESCE(l.n_refs_linked, 0) AS n_refs_linked,
+         printf('cat%02d', CAST(
+           CAST(('0x' || substr(md5(b.conv_id), 1, 15)) AS BIGINT) % 12
+         AS INT)) AS category,
+         printf('grp%d', CAST(
+           CAST(('0x' || substr(md5(b.conv_id), 1, 15)) AS BIGINT) % 12
+         AS INT) % 4) AS grp,
+         b.month
+  FROM vbase b LEFT JOIN vlinked l USING (conv_id)
+)"""
+
+
+def _vertices(spark, sf_dir):
+    from unarxive_spark.operators.stats import build_vertices
+
+    return build_vertices(transcripts_from_events(spark, sf_dir)).withColumnRenamed(
+        "group", "grp"
+    )
+
+
+def q_vertices(spark, sf_dir):
+    """A1 analog: per-conversation stats table."""
+    return _vertices(spark, sf_dir)
+
+
+SQL_VERTICES = f"""{VERTS_CTE}
+SELECT conv_id, n_turns, n_refs, n_refs_linked, category, grp, month
+FROM vattrs"""
+
+
+def q_cat_month_cube(spark, sf_dir):
+    """A2 analog: (category × month) metrics cube."""
+    from unarxive_spark.operators.stats import category_month_cube
+
+    return category_month_cube(_vertices(spark, sf_dir))
+
+
+SQL_CAT_MONTH_CUBE = f"""{VERTS_CTE}
+SELECT category, month, CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(sum(n_turns) AS BIGINT) AS n_turns,
+       CAST(sum(n_refs) AS BIGINT) AS n_refs,
+       CAST(sum(n_refs_linked) AS BIGINT) AS n_refs_linked
+FROM vattrs GROUP BY 1, 2"""
+
+
+def q_group_rollup(spark, sf_dir):
+    """A3 analog: ROLLUP(group → category) grouping sets."""
+    v = _vertices(spark, sf_dir)
+    return (
+        v.rollup("grp", "category")
+        .agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.sum("n_refs").alias("n_refs"),
+        )
+        .select(
+            F.coalesce("grp", F.lit("ALL")).alias("grp"),
+            F.coalesce("category", F.lit("ALL")).alias("category"),
+            "n_convs",
+            "n_refs",
+        )
+    )
+
+
+SQL_GROUP_ROLLUP = f"""{VERTS_CTE}
+SELECT COALESCE(grp, 'ALL') AS grp, COALESCE(category, 'ALL') AS category,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(sum(n_refs) AS BIGINT) AS n_refs
+FROM vattrs GROUP BY ROLLUP (grp, category)"""
+
+
+def q_link_rate(spark, sf_dir):
+    """A5/refmatch_rate analog: ratio-of-sums per group, zero-guarded."""
+    from unarxive_spark.operators.stats import link_rate_by_group
+
+    return link_rate_by_group(
+        _vertices(spark, sf_dir).withColumnRenamed("grp", "group")
+    ).withColumnRenamed("group", "grp")
+
+
+SQL_LINK_RATE = f"""{VERTS_CTE}
+SELECT grp, CAST(sum(n_refs) AS BIGINT) AS n_refs,
+       CAST(sum(n_refs_linked) AS BIGINT) AS n_refs_linked,
+       CASE WHEN sum(n_refs) = 0 THEN 0e0
+            ELSE CAST(sum(n_refs_linked) AS DOUBLE) / sum(n_refs) END
+         AS link_rate
+FROM vattrs GROUP BY 1"""
+
+
+def q_role_histogram(spark, sf_dir):
+    """A6 analog: histogram over the role dimension."""
+    from unarxive_spark.operators.stats import role_histogram
+
+    return role_histogram(transcripts_from_events(spark, sf_dir))
+
+
+SQL_ROLE_HISTOGRAM = (
+    f"WITH {TRANSCRIPTS_CTE.strip()} "
+    "SELECT role, CAST(count(*) AS BIGINT) AS n_turns "
+    "FROM transcripts GROUP BY 1"
+)
+
+
+GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_transcripts": q_transcripts,
+    "q02_mine_refs": q_mine_refs,
+    "q03_edges": q_edges,
+    "q04_degree_topk": q_degree_topk,
+    "q05_pagerank": q_pagerank,
+    "q06_components": q_components,
+    "q07_triangles": q_triangles,
+    "q08_vertices": q_vertices,
+    "q09_cat_month_cube": q_cat_month_cube,
+    "q10_group_rollup": q_group_rollup,
+    "q11_link_rate": q_link_rate,
+    "q12_role_histogram": q_role_histogram,
+}
+
+GRAPH_ORACLES: dict[str, str] = {
+    "q01_transcripts": SQL_TRANSCRIPTS,
+    "q02_mine_refs": SQL_MINE_REFS,
+    "q03_edges": SQL_EDGES,
+    "q04_degree_topk": SQL_DEGREE_TOPK,
+    "q05_pagerank": SQL_PAGERANK,
+    "q06_components": SQL_COMPONENTS,
+    "q07_triangles": SQL_TRIANGLES,
+    "q08_vertices": SQL_VERTICES,
+    "q09_cat_month_cube": SQL_CAT_MONTH_CUBE,
+    "q10_group_rollup": SQL_GROUP_ROLLUP,
+    "q11_link_rate": SQL_LINK_RATE,
+    "q12_role_histogram": SQL_ROLE_HISTOGRAM,
+}

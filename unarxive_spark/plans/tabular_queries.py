@@ -1,0 +1,501 @@
+"""Tabular driver-contract queries: classic relational surface (agg /
+join / window / anti-join / argmax — SURVEY.md §2.2-2.7 analogs) over the
+TPC-H-ish tables, plus the training-data ops (dedup, similarity, text
+analysis) over documents/embeddings, each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from unarxive_spark.functions.hashing import h64, h64_sql
+from unarxive_spark.functions.texttools import (
+    bpe_ish_token_count,
+    fingerprint,
+    fingerprint_sql,
+    lang_id,
+    lang_id_sql,
+    quality_score,
+    quality_score_sql,
+    token_count,
+    token_count_sql,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------
+# Relational surface
+# ---------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shape aggregation (A2-style metric block; pushdown-able
+    date predicate, map-side partial agg)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round("sum_qty", 4).alias("sum_qty"),
+            F.round("sum_base_price", 4).alias("sum_base_price"),
+            F.round("sum_disc_price", 4).alias("sum_disc_price"),
+            "avg_qty",
+            "avg_disc",
+            "count_order",
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY 1, 2"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """3-way join (fact ⋈ dims) + agg — broadcast dims (J1/J2 analog)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name, round(sum(o_totalprice), 4) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1"""
+
+
+def q_top_orders_per_customer(spark, sf_dir):
+    """Window top-k per group (§2.5: row_number pattern)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3"""
+
+
+def q_customers_without_open_orders(spark, sf_dir):
+    """Anti-join (J8 resume analog: skip members of a done-set)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter("o_orderstatus = 'O'")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL_CUSTOMERS_WITHOUT_OPEN_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')"""
+
+
+def q_richest_supplier_per_nation(spark, sf_dir):
+    """Argmax-per-group (A7: max_by citation_count analog)."""
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("s_nationkey", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+SQL_RICHEST_SUPPLIER_PER_NATION = """
+SELECT s_nationkey, s_suppkey, s_name, s_acctbal
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY s_nationkey
+                               ORDER BY s_acctbal DESC, s_suppkey ASC) AS rn
+  FROM supplier
+) WHERE rn = 1"""
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) — the batch analog of
+    a session window (SURVEY.md §2.9: the graft is batch-iterative)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(
+        F.lag("ts").over(w)
+    )
+    sess = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("session_value"),
+    )
+
+
+SQL_SESSIONIZE_EVENTS = """
+SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS session_value
+FROM (
+  SELECT user_id, value,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM (
+    SELECT *, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+                   THEN 1 ELSE 0 END AS new_sess
+    FROM events
+  )
+)
+GROUP BY 1, 2"""
+
+
+def q_hourly_event_counts(spark, sf_dir):
+    """Tumbling-window rollup over event time (streaming-shaped agg run
+    in batch; same plan a Structured Streaming sink would produce)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+SQL_HOURLY_EVENT_COUNTS = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------
+# Training-data ops: text analysis
+# ---------------------------------------------------------------------
+
+
+def q_text_features(spark, sf_dir):
+    """Token counts + quality + language ID per document (P19-P22
+    analogs)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
+        F.round(quality_score("text"), 6).alias("quality"),
+        lang_id("text").alias("lang_pred"),
+    )
+
+
+SQL_TEXT_FEATURES = f"""
+SELECT doc_id,
+       CAST({token_count_sql('text')} AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+       round({quality_score_sql('text')}, 6) AS quality,
+       {lang_id_sql('text')} AS lang_pred
+FROM documents"""
+
+
+def q_lang_quality_histogram(spark, sf_dir):
+    """Histogram + avg quality per declared lang (A6 + A5 analog)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(quality_score("text")), 6).alias("avg_quality"),
+    )
+
+
+SQL_LANG_QUALITY_HISTOGRAM = f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg({quality_score_sql('text')}), 6) AS avg_quality
+FROM documents GROUP BY 1"""
+
+
+def q_fingerprints(spark, sf_dir):
+    """Document fingerprint (min 3-gram hash signature)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fp"))
+
+
+SQL_FINGERPRINTS = f"""
+SELECT doc_id, {fingerprint_sql('text')} AS fp FROM documents"""
+
+
+# ---------------------------------------------------------------------
+# Training-data ops: dedup + similarity
+# ---------------------------------------------------------------------
+
+
+def q_exact_dup_stats(spark, sf_dir):
+    """Exact-dup groups by normalized text hash (P10/P26 analog)."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return (
+        d.select(h64(norm).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("representative"),
+        )
+    )
+
+
+_NORM_SQL = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+SQL_EXACT_DUP_STATS = f"""
+SELECT {h64_sql(_NORM_SQL)} AS text_hash,
+       CAST(count(*) AS BIGINT) AS n_dups,
+       min(doc_id) AS representative
+FROM documents GROUP BY 1"""
+
+
+N_PERM = 4
+
+
+def q_minhash(spark, sf_dir):
+    """MinHash signature slots as columns (portable md5 permutations)."""
+    from unarxive_spark.operators.dedup import minhash_signature
+
+    d = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(d, n_perm=N_PERM)
+    return sig.select(
+        F.col("id").alias("doc_id"),
+        *[F.col("sig")[p].alias(f"mh{p}") for p in range(N_PERM)],
+    )
+
+
+def _shingles_sql(expr: str) -> str:
+    toks = (
+        f"list_filter(string_split_regex(trim(lower({expr})), '\\s+'),"
+        " t -> t != '')"
+    )
+    return (
+        f"CASE WHEN len({toks}) < 3 THEN [array_to_string({toks}, ' ')] "
+        f"ELSE list_distinct([array_to_string({toks}[i:i+2], ' ') "
+        f"FOR i IN range(1, len({toks}) - 1)]) END"
+    )
+
+
+def _mh_sql(expr: str, p: int) -> str:
+    return (
+        f"list_min(list_transform({_shingles_sql(expr)}, "
+        f"g -> CAST(('0x' || substr(md5('mh{p}|' || g), 1, 15)) AS BIGINT)))"
+    )
+
+
+SQL_MINHASH = (
+    "SELECT doc_id, "
+    + ", ".join(f"{_mh_sql('text', p)} AS mh{p}" for p in range(N_PERM))
+    + " FROM documents"
+)
+
+
+SIMHASH_BITS = 16
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash signature (16-bit) per document."""
+    from unarxive_spark.operators.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d, bits=SIMHASH_BITS).select(
+        F.col("id").alias("doc_id"), F.col("simhash")
+    )
+
+
+def _simhash_sql(expr: str, bits: int) -> str:
+    toks = (
+        f"list_filter(string_split_regex(trim(lower({expr})), '\\s+'),"
+        " t -> t != '')"
+    )
+    h = "CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)"
+    terms = []
+    for b in range(bits):
+        tally = (
+            f"list_sum(list_transform({toks}, "
+            f"t -> CASE WHEN (({h} >> {b}) & 1) = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(
+            f"CASE WHEN COALESCE({tally}, 0) > 0 "
+            f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+SQL_SIMHASH = (
+    f"SELECT doc_id, {_simhash_sql('text', SIMHASH_BITS)} AS simhash "
+    "FROM documents"
+)
+
+
+JACCARD_THRESHOLD = 0.2
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (inverted-index join)."""
+    from unarxive_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    p = ngram_jaccard_pairs(d, threshold=JACCARD_THRESHOLD)
+    return p.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_JACCARD_PAIRS = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS id, unnest({_shingles_sql('text')}) AS shingle
+  FROM documents
+),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+  SELECT l.id AS id_a, r.id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.id < r.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6)
+         AS jaccard
+FROM shared
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared)
+      >= {JACCARD_THRESHOLD}"""
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for the first 3 vectors as queries."""
+    from unarxive_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = cosine_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qnorm
+  FROM embeddings WHERE vec_id < 3
+),
+c AS (
+  SELECT vec_id AS id, embedding AS vec,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+  FROM embeddings
+  WHERE sqrt(list_sum(list_transform(embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+),
+scored AS (
+  SELECT query_id, id,
+         list_sum(list_transform(range(1, len(vec) + 1),
+             i -> CAST(vec[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+           / (norm * qnorm) AS cosine
+  FROM c CROSS JOIN q
+)
+SELECT query_id, id, round(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5"""
+
+
+TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q20_pricing_summary": q_pricing_summary,
+    "q21_revenue_by_nation": q_revenue_by_nation,
+    "q22_top_orders_per_customer": q_top_orders_per_customer,
+    "q23_customers_without_open_orders": q_customers_without_open_orders,
+    "q24_richest_supplier_per_nation": q_richest_supplier_per_nation,
+    "q25_sessionize_events": q_sessionize_events,
+    "q26_hourly_event_counts": q_hourly_event_counts,
+    "q27_text_features": q_text_features,
+    "q28_lang_quality_histogram": q_lang_quality_histogram,
+    "q29_fingerprints": q_fingerprints,
+    "q30_exact_dup_stats": q_exact_dup_stats,
+    "q31_minhash": q_minhash,
+    "q32_simhash": q_simhash,
+    "q33_jaccard_pairs": q_jaccard_pairs,
+    "q34_cosine_topk": q_cosine_topk,
+}
+
+TABULAR_ORACLES: dict[str, str] = {
+    "q20_pricing_summary": SQL_PRICING_SUMMARY,
+    "q21_revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "q22_top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
+    "q23_customers_without_open_orders": SQL_CUSTOMERS_WITHOUT_OPEN_ORDERS,
+    "q24_richest_supplier_per_nation": SQL_RICHEST_SUPPLIER_PER_NATION,
+    "q25_sessionize_events": SQL_SESSIONIZE_EVENTS,
+    "q26_hourly_event_counts": SQL_HOURLY_EVENT_COUNTS,
+    "q27_text_features": SQL_TEXT_FEATURES,
+    "q28_lang_quality_histogram": SQL_LANG_QUALITY_HISTOGRAM,
+    "q29_fingerprints": SQL_FINGERPRINTS,
+    "q30_exact_dup_stats": SQL_EXACT_DUP_STATS,
+    "q31_minhash": SQL_MINHASH,
+    "q32_simhash": SQL_SIMHASH,
+    "q33_jaccard_pairs": SQL_JACCARD_PAIRS,
+    "q34_cosine_topk": SQL_COSINE_TOPK,
+}

@@ -54,25 +54,34 @@ class CheckpointManager:
 
     # -- write side ---------------------------------------------------
 
-    def commit(
+    def write_state(self, iteration: int, state: DataFrame) -> DataFrame:
+        """Materialize one superstep's state exactly once and truncate the
+        plan lineage. Callers compute convergence metrics from the
+        returned frame (cheap re-scan) instead of re-evaluating the
+        superstep, then call :meth:`log_lineage` to commit.
+
+        When checkpointing is disabled, ``localCheckpoint`` gives the
+        same single-evaluation + truncation without resume."""
+        if not self.enabled:
+            return state.localCheckpoint(eager=True)
+        path = self._state_path(iteration)
+        state.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
+    def log_lineage(
         self,
         iteration: int,
         state: DataFrame,
         metric_name: str,
         metric_value: float,
-    ) -> DataFrame:
-        """Persist one superstep: state parquet, then lineage commit row.
-
-        Returns the re-read state (plan lineage truncated). When disabled,
-        falls back to ``localCheckpoint`` — same truncation, no resume.
-        """
+    ) -> None:
+        """Append the per-partition lineage rows + commit marker. The
+        state write (write_state) lands before this, so a crash between
+        the two replays one idempotent iteration."""
         if not self.enabled:
-            return state.localCheckpoint(eager=True)
-        path = self._state_path(iteration)
-        state.write.mode("overwrite").parquet(path)
-        reread = self.spark.read.parquet(path)
+            return
         per_part = (
-            reread.groupBy(F.spark_partition_id().alias("partition_id"))
+            state.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count(F.lit(1)).alias("n_rows"))
             .select(
                 F.lit(iteration).alias("iteration"),
@@ -85,6 +94,18 @@ class CheckpointManager:
             )
         )
         per_part.write.mode("append").parquet(f"{self.root}/_lineage")
+
+    def commit(
+        self,
+        iteration: int,
+        state: DataFrame,
+        metric_name: str,
+        metric_value: float,
+    ) -> DataFrame:
+        """write_state + log_lineage in one call (for loops whose metric
+        is known before materialization)."""
+        reread = self.write_state(iteration, state)
+        self.log_lineage(iteration, reread, metric_name, metric_value)
         return reread
 
     # -- read side ----------------------------------------------------
