@@ -10,8 +10,11 @@ ml_tasks_prep_data.py:226-276).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
 
 # Tiny per-language stopword marker sets — an n-gram/stopword heuristic.
 # Deliberately deterministic + portable: language = argmax stopword hits.
@@ -162,6 +165,60 @@ def fingerprint_sql(expr: str) -> str:
         f"list_min(list_transform({grams}, "
         f"g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)))"
     )
+
+
+@pandas_udf(StringType())
+def transliterate(s: pd.Series) -> pd.Series:
+    """Accent-stripping transliteration (P16 unidecode analog,
+    /root/reference/src/match_references_openalex.py:214-227): NFD
+    decompose then drop combining marks. Arrow-batched pandas UDF — the
+    one transform with no JVM built-in equivalent."""
+    import unicodedata
+
+    def strip(x):
+        if x is None:
+            return None
+        return "".join(
+            ch
+            for ch in unicodedata.normalize("NFD", x)
+            if not unicodedata.combining(ch)
+        )
+
+    return s.map(strip)
+
+
+@pandas_udf(StringType())
+def decode_text(b: pd.Series) -> pd.Series:
+    """Charset-sniffing decode (S3 analog,
+    /root/reference/src/normalize_arxiv_dump.py:59-92): UTF-8 first,
+    latin-1 fallback — binary → string, Arrow-batched."""
+
+    def dec(x):
+        if x is None:
+            return None
+        try:
+            return bytes(x).decode("utf-8")
+        except UnicodeDecodeError:
+            return bytes(x).decode("latin-1", errors="replace")
+
+    return b.map(dec)
+
+
+def canonicalize_markers(col: Column | str) -> Column:
+    """Normalize marker syntax variants to canonical ``conv:<id>`` —
+    the natbib/bibitem rewrite analog (P3/P4,
+    /root/reference/src/normalize_arxiv_dump.py:33-40): chained
+    ``regexp_replace``, JVM-side.
+
+    Variants: ``conv://<id>``, ``[[conv:<id>]]``, ``CONV:<id>``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(
+        c, r"\[\[conv:([A-Za-z0-9_-]+)\]\]", r"conv:$1"
+    )
+    out = F.regexp_replace(out, r"conv://([A-Za-z0-9_-]+)", r"conv:$1")
+    out = F.regexp_replace(out, r"CONV:([A-Za-z0-9_-]+)", r"conv:$1")
+    return out
 
 
 def shingles(col: Column | str, k: int = 3) -> Column:

@@ -464,6 +464,90 @@ FROM (
 ) WHERE rank <= 5"""
 
 
+def q_match_cascade(spark, sf_dir):
+    """J4 flagship-join analog: fuzzy mention → document resolution via
+    the 3-level key cascade + containment filter + argmax(n_chars).
+    Mentions are derived deterministically from documents (doc_id % 3
+    selects full / prepended / appended variants, exercising all three
+    cascade levels; the tiny shared vocabulary forces multi-candidate
+    keys, exercising the argmax disambiguation)."""
+    from unarxive_spark.operators.resolve import match_cascade
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    base = d.select(
+        "doc_id", toks.alias("t"), "n_chars"
+    ).filter(F.size("t") >= 4)
+    key4 = F.concat_ws(" ", F.slice("t", 1, 4))
+    dim = base.select(
+        "doc_id",
+        key4.alias("dim_key"),
+        F.col("n_chars").alias("rank_metric"),
+        F.element_at("t", 1).alias("first_token"),
+    )
+    mention = (
+        F.when(F.col("doc_id") % 3 == 0, key4)
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("zqz "), key4))
+        .otherwise(F.concat(key4, F.lit(" zqz")))
+    )
+    mentions = base.select(
+        F.col("doc_id").alias("mention_id"), mention.alias("mention")
+    )
+    return match_cascade(mentions, dim)
+
+
+SQL_MATCH_CASCADE = """
+WITH toks AS (
+  SELECT doc_id, n_chars,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> t != '') AS t
+  FROM documents
+),
+base AS (SELECT * FROM toks WHERE len(t) >= 4),
+dim AS (
+  SELECT doc_id, array_to_string(t[1:4], ' ') AS dk,
+         n_chars AS metric, t[1] AS ft
+  FROM base
+),
+mentions AS (
+  SELECT doc_id AS mention_id,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN array_to_string(t[1:4], ' ')
+           WHEN 1 THEN 'zqz ' || array_to_string(t[1:4], ' ')
+           ELSE array_to_string(t[1:4], ' ') || ' zqz' END AS mention
+  FROM base
+),
+keyed AS (
+  SELECT mention_id, mention,
+         mention AS k1,
+         array_to_string(string_split(mention, ' ')[2:], ' ') AS k2,
+         array_to_string(
+           string_split(mention, ' ')[1:len(string_split(mention, ' ')) - 1],
+           ' ') AS k3,
+         string_split(mention, ' ') AS mtoks
+  FROM mentions
+),
+cands AS (
+  SELECT mention_id, d.doc_id, d.metric, d.ft, k.mtoks, 1 AS match_rank
+  FROM keyed k JOIN dim d ON k.k1 = d.dk
+  UNION ALL
+  SELECT mention_id, d.doc_id, d.metric, d.ft, k.mtoks, 2
+  FROM keyed k JOIN dim d ON k.k2 = d.dk
+  UNION ALL
+  SELECT mention_id, d.doc_id, d.metric, d.ft, k.mtoks, 3
+  FROM keyed k JOIN dim d ON k.k3 = d.dk
+)
+SELECT mention_id, doc_id, CAST(match_rank AS INT) AS match_rank
+FROM (
+  SELECT mention_id, doc_id, match_rank,
+         row_number() OVER (PARTITION BY mention_id
+                            ORDER BY match_rank ASC, metric DESC,
+                                     doc_id ASC) AS rn
+  FROM cands
+  WHERE list_contains(mtoks, ft)
+) WHERE rn = 1"""
+
+
 TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_pricing_summary": q_pricing_summary,
     "q21_revenue_by_nation": q_revenue_by_nation,
@@ -480,6 +564,7 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_simhash": q_simhash,
     "q33_jaccard_pairs": q_jaccard_pairs,
     "q34_cosine_topk": q_cosine_topk,
+    "q35_match_cascade": q_match_cascade,
 }
 
 TABULAR_ORACLES: dict[str, str] = {
@@ -498,4 +583,5 @@ TABULAR_ORACLES: dict[str, str] = {
     "q32_simhash": SQL_SIMHASH,
     "q33_jaccard_pairs": SQL_JACCARD_PAIRS,
     "q34_cosine_topk": SQL_COSINE_TOPK,
+    "q35_match_cascade": SQL_MATCH_CASCADE,
 }

@@ -32,6 +32,10 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
     "spark.driver.extraJavaOptions": "-Djava.io.tmpdir=/tmp",
+    # local mode runs executors inside the driver JVM: size it for the
+    # bench-scale graphs (only applies at first JVM launch per process).
+    "spark.driver.memory": "48g",
+    "spark.driver.maxResultSize": "4g",
 }
 
 
