@@ -29,6 +29,7 @@ analytics layer over its citation network (README.md:27-32), with
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -46,6 +47,9 @@ class PageRankResult:
     iterations: int
     converged: bool
     deltas: list[float] = field(default_factory=list)
+    # wall seconds per superstep (index 0 includes cache warm-up; scaling
+    # metrics should use index >= 1)
+    superstep_secs: list[float] = field(default_factory=list)
 
 
 def _vertices(edges: DataFrame) -> DataFrame:
@@ -108,22 +112,17 @@ def pagerank(
     if resumed is not None:
         ranks = ckpt.restore(resumed)
         start_iter = resumed + 1
-        d_mass = (
-            ranks.join(dangling, "conv_id", "left_semi")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
-        )
     else:
         ranks = vertices.select(
             "conv_id", F.lit(1.0 / n).alias("rank")
         )
-        d_mass = n_dangling / n  # uniform init — no job needed
 
     deltas: list[float] = []
+    superstep_secs: list[float] = []
     converged = False
     it = start_iter
     for it in range(start_iter, max_iter):
+        t_iter = time.monotonic()
         contribs = edges_norm.join(
             ranks.withColumnRenamed("conv_id", "src"), "src"
         ).select("src", "dst", (F.col("p") * F.col("rank")).alias("c"))
@@ -131,48 +130,52 @@ def pagerank(
             contribs, key="dst", value=F.sum("c"), out="g",
             salt_from="src", n_salts=n_salts,
         )
-        base = (1.0 - damping) / n + damping * d_mass / n
+        # Dangling mass enters the plan as a broadcast 1-row aggregate —
+        # NO per-iteration driver round-trip for it (the reduction runs
+        # as a stage inside the same superstep job).
+        if n_dangling:
+            dmass_df = (
+                ranks.join(dangling, "conv_id", "left_semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+            )
+        else:
+            dmass_df = spark.range(1).select(F.lit(0.0).alias("_dm"))
         new_ranks = (
             vertices.join(
                 gathered.withColumnRenamed("dst", "conv_id"), "conv_id", "left"
             )
+            .crossJoin(F.broadcast(dmass_df))
             .select(
                 "conv_id",
                 (
-                    F.lit(base)
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping / n) * F.col("_dm")
                     + F.lit(damping) * F.coalesce(F.col("g"), F.lit(0.0))
                 ).alias("rank"),
             )
         )
         # Materialize the superstep exactly once (plan truncation +
-        # resumable state), THEN compute metrics from the cheap re-scan:
-        # one heavy evaluation + one scalar action per superstep
-        # (driver round-trips gate superstep rate at scale).
+        # resumable state). Fixed-iteration mode (tol < 0) needs NOTHING
+        # else — zero scalar actions per superstep; convergence mode adds
+        # one delta aggregation over the cheap re-scan.
         new_ranks_m = ckpt.write_state(it, new_ranks)
-        stats = (
-            new_ranks_m.alias("nr")
-            .join(ranks.alias("o"), "conv_id")
-            .join(
-                dangling.withColumn("_d", F.lit(1)), "conv_id", "left"
+        if tol >= 0:
+            delta = float(
+                new_ranks_m.alias("nr")
+                .join(ranks.alias("o"), "conv_id")
+                .agg(
+                    F.max(F.abs(F.col("nr.rank") - F.col("o.rank")))
+                )
+                .collect()[0][0]
             )
-            .agg(
-                F.max(
-                    F.abs(F.col("nr.rank") - F.col("o.rank"))
-                ).alias("delta"),
-                F.coalesce(
-                    F.sum(F.when(F.col("_d") == 1, F.col("nr.rank"))),
-                    F.lit(0.0),
-                ).alias("dmass"),
-            )
-            .collect()[0]
-        )
-        delta = float(stats["delta"])
-        d_mass = float(stats["dmass"])
+        else:
+            delta = float("inf")
         deltas.append(delta)
         ckpt.log_lineage(it, new_ranks_m, "max_abs_delta", delta)
         ranks = new_ranks_m
+        superstep_secs.append(time.monotonic() - t_iter)
         if delta < tol:
             converged = True
             break
 
-    return PageRankResult(ranks, it + 1, converged, deltas)
+    return PageRankResult(ranks, it + 1, converged, deltas, superstep_secs)

@@ -393,6 +393,30 @@ SQL_ROLE_HISTOGRAM = (
 )
 
 
+def q_degree_distribution(spark, sf_dir):
+    """In-degree distribution histogram (log2 buckets) — the degree-skew
+    diagnostic that motivates salting (hub fixture visible as a heavy
+    tail)."""
+    e = _edges(spark, sf_dir)
+    indeg = e.groupBy("dst_conv_id").agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    bucket = F.floor(F.log2("in_degree")).cast("int")
+    return (
+        indeg.groupBy(bucket.alias("log2_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+
+
+SQL_DEGREE_DISTRIBUTION = f"""{GRAPH_PREFIX},
+indeg AS (
+  SELECT dst_conv_id, count(*) AS in_degree FROM edges GROUP BY 1
+)
+SELECT CAST(floor(log2(in_degree)) AS INT) AS log2_bucket,
+       CAST(count(*) AS BIGINT) AS n_vertices
+FROM indeg GROUP BY 1"""
+
+
 GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_transcripts": q_transcripts,
     "q02_mine_refs": q_mine_refs,
@@ -406,6 +430,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q10_group_rollup": q_group_rollup,
     "q11_link_rate": q_link_rate,
     "q12_role_histogram": q_role_histogram,
+    "q13_degree_distribution": q_degree_distribution,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
@@ -421,4 +446,5 @@ GRAPH_ORACLES: dict[str, str] = {
     "q10_group_rollup": SQL_GROUP_ROLLUP,
     "q11_link_rate": SQL_LINK_RATE,
     "q12_role_histogram": SQL_ROLE_HISTOGRAM,
+    "q13_degree_distribution": SQL_DEGREE_DISTRIBUTION,
 }

@@ -31,7 +31,11 @@ _BASE_CONF: dict[str, str] = {
     # Deterministic timestamps in tests regardless of host zone.
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
-    "spark.driver.extraJavaOptions": "-Djava.io.tmpdir=/tmp",
+    # keep metastore/warehouse artifacts out of the repo working dir
+    "spark.sql.warehouse.dir": "/tmp/spark-warehouse",
+    "spark.driver.extraJavaOptions": (
+        "-Djava.io.tmpdir=/tmp -Dderby.system.home=/tmp"
+    ),
     # local mode runs executors inside the driver JVM: size it for the
     # bench-scale graphs (only applies at first JVM launch per process).
     "spark.driver.memory": "48g",
