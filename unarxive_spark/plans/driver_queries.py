@@ -393,6 +393,40 @@ SQL_ROLE_HISTOGRAM = (
 )
 
 
+def q_lpa(spark, sf_dir):
+    """Deterministic synchronous LPA labels, 3 supersteps (rows-only
+    driver check: iterative argmax is not tractable in a DuckDB oracle;
+    exactness is pinned by the pure-Python oracle in tests/test_graph_ops
+    with the identical tie-break rule)."""
+    from unarxive_spark.operators.lpa import label_propagation
+
+    return label_propagation(_edges(spark, sf_dir), n_iter=3).labels
+
+
+def q_triangles_per_vertex(spark, sf_dir):
+    """Per-vertex triangle participation counts."""
+    from unarxive_spark.operators.triangles import triangles_per_vertex
+
+    return triangles_per_vertex(_edges(spark, sf_dir))
+
+
+SQL_TRIANGLES_PER_VERTEX = f"""{GRAPH_PREFIX},
+und AS (SELECT src_conv_id AS u, dst_conv_id AS v FROM edges
+        UNION SELECT dst_conv_id, src_conv_id FROM edges),
+canon AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+          FROM und WHERE u != v),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM canon e1
+  JOIN canon e2 ON e1.b = e2.a
+  JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT unnest([x, y, z]) AS conv_id FROM tri
+) GROUP BY 1"""
+
+
 def q_degree_distribution(spark, sf_dir):
     """In-degree distribution histogram (log2 buckets) — the degree-skew
     diagnostic that motivates salting (hub fixture visible as a heavy
@@ -431,6 +465,8 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_link_rate": q_link_rate,
     "q12_role_histogram": q_role_histogram,
     "q13_degree_distribution": q_degree_distribution,
+    "q14_lpa": q_lpa,
+    "q15_triangles_per_vertex": q_triangles_per_vertex,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
@@ -447,4 +483,6 @@ GRAPH_ORACLES: dict[str, str] = {
     "q11_link_rate": SQL_LINK_RATE,
     "q12_role_histogram": SQL_ROLE_HISTOGRAM,
     "q13_degree_distribution": SQL_DEGREE_DISTRIBUTION,
+    # q14_lpa: intentionally no oracle (rows-only) — see docstring
+    "q15_triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
 }
