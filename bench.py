@@ -54,8 +54,11 @@ def headline_queries(spark) -> dict[str, float]:
     from unarxive_spark.plans.driver_queries import transcripts_from_events
     from unarxive_spark.plans.tabular_queries import (
         q_cosine_topk,
+        q_jaccard_pairs,
+        q_match_cascade,
         q_minhash,
         q_pricing_summary,
+        q_sessionize_events,
     )
 
     times: dict[str, float] = {}
@@ -75,6 +78,15 @@ def headline_queries(spark) -> dict[str, float]:
     _, times["minhash"] = _timed(lambda: q_minhash(spark, SF_DIR).count())
     _, times["cosine_topk"] = _timed(
         lambda: q_cosine_topk(spark, SF_DIR).count()
+    )
+    _, times["match_cascade"] = _timed(
+        lambda: q_match_cascade(spark, SF_DIR).count()
+    )
+    _, times["jaccard_pairs"] = _timed(
+        lambda: q_jaccard_pairs(spark, SF_DIR).count()
+    )
+    _, times["sessionize"] = _timed(
+        lambda: q_sessionize_events(spark, SF_DIR).count()
     )
     edges.unpersist()
     return times

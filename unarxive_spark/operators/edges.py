@@ -100,6 +100,22 @@ def edge_resolution_metrics(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def enrich_edges(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Attach destination-side attributes to each edge — the
+    ``extend_matched`` analog (/root/reference/src/extend_matched.py:
+    101-131: attach cited work's discipline + arXiv ID to each resolved
+    reference). Broadcast left join on dst; missing attrs stay null
+    (reference keeps unmatched entries with empty ids)."""
+    dst_attrs = vertices.select(
+        F.col("conv_id").alias("dst_conv_id"),
+        F.col("category").alias("dst_category"),
+        F.col("group").alias("dst_group"),
+    )
+    return edges.join(F.broadcast(dst_attrs), "dst_conv_id", "left").select(
+        "src_conv_id", "dst_conv_id", "weight", "dst_category", "dst_group"
+    )
+
+
 def repartition_by_src(edges: DataFrame, n: int | None = None) -> DataFrame:
     """Hash-distribute the edge table by source for superstep reuse.
 

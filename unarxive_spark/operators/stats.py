@@ -53,6 +53,8 @@ def build_vertices(transcripts: DataFrame) -> DataFrame:
         "ts",
         F.size(refs).alias("n_refs_turn"),
         F.filter(refs, lambda r: r != F.col("conv_id")).alias("ref_ids"),
+        F.when(F.col("role") == "tool", 1).otherwise(0).alias("is_tool"),
+        F.length("text").alias("n_chars_turn"),
     )
     vertex_ids = transcripts.select(F.col("conv_id").alias("ref_id")).distinct()
     exploded = per_turn.select(
@@ -75,6 +77,8 @@ def build_vertices(transcripts: DataFrame) -> DataFrame:
     base = per_turn.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_turns"),
         F.sum("n_refs_turn").alias("n_refs"),
+        F.sum("is_tool").alias("n_tool_turns"),
+        F.sum("n_chars_turn").alias("n_chars"),
         F.date_format(F.min("ts"), "yyyy-MM").alias("month"),
     )
     cat = category_expr("conv_id")
@@ -85,6 +89,8 @@ def build_vertices(transcripts: DataFrame) -> DataFrame:
             "n_turns",
             "n_refs",
             F.coalesce("n_refs_linked", F.lit(0)).alias("n_refs_linked"),
+            "n_tool_turns",
+            "n_chars",
             cat.alias("category"),
             group_of_category(cat).alias("group"),
             "month",
@@ -101,6 +107,8 @@ def category_month_cube(vertices: DataFrame) -> DataFrame:
             F.sum("n_turns").alias("n_turns"),
             F.sum("n_refs").alias("n_refs"),
             F.sum("n_refs_linked").alias("n_refs_linked"),
+            F.sum("n_tool_turns").alias("n_tool_turns"),
+            F.sum("n_chars").alias("n_chars"),
         )
     )
 

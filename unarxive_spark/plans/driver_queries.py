@@ -274,12 +274,16 @@ VERTS_CTE = f"""{GRAPH_PREFIX},
 pturn AS (
   SELECT conv_id, ts,
          len(regexp_extract_all(text || ' ' || tool,
-                                'conv:([A-Za-z0-9_-]+)', 1)) AS n_refs_turn
+                                'conv:([A-Za-z0-9_-]+)', 1)) AS n_refs_turn,
+         CASE WHEN role = 'tool' THEN 1 ELSE 0 END AS is_tool,
+         length(text) AS n_chars_turn
   FROM transcripts
 ),
 vbase AS (
   SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
          CAST(sum(n_refs_turn) AS BIGINT) AS n_refs,
+         CAST(sum(is_tool) AS BIGINT) AS n_tool_turns,
+         CAST(sum(n_chars_turn) AS BIGINT) AS n_chars,
          strftime(min(ts), '%Y-%m') AS month
   FROM pturn GROUP BY 1
 ),
@@ -292,6 +296,7 @@ vlinked AS (
 vattrs AS (
   SELECT b.conv_id, b.n_turns, b.n_refs,
          COALESCE(l.n_refs_linked, 0) AS n_refs_linked,
+         b.n_tool_turns, b.n_chars,
          printf('cat%02d', CAST(
            CAST(('0x' || substr(md5(b.conv_id), 1, 15)) AS BIGINT) % 12
          AS INT)) AS category,
@@ -317,7 +322,8 @@ def q_vertices(spark, sf_dir):
 
 
 SQL_VERTICES = f"""{VERTS_CTE}
-SELECT conv_id, n_turns, n_refs, n_refs_linked, category, grp, month
+SELECT conv_id, n_turns, n_refs, n_refs_linked, n_tool_turns, n_chars,
+       category, grp, month
 FROM vattrs"""
 
 
@@ -332,7 +338,9 @@ SQL_CAT_MONTH_CUBE = f"""{VERTS_CTE}
 SELECT category, month, CAST(count(*) AS BIGINT) AS n_convs,
        CAST(sum(n_turns) AS BIGINT) AS n_turns,
        CAST(sum(n_refs) AS BIGINT) AS n_refs,
-       CAST(sum(n_refs_linked) AS BIGINT) AS n_refs_linked
+       CAST(sum(n_refs_linked) AS BIGINT) AS n_refs_linked,
+       CAST(sum(n_tool_turns) AS BIGINT) AS n_tool_turns,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
 FROM vattrs GROUP BY 1, 2"""
 
 
@@ -451,6 +459,24 @@ SELECT CAST(floor(log2(in_degree)) AS INT) AS log2_bucket,
 FROM indeg GROUP BY 1"""
 
 
+def q_edges_enriched(spark, sf_dir):
+    """extend_matched analog (J5): edges + destination discipline/group
+    attributes via broadcast left join."""
+    from unarxive_spark.operators.edges import enrich_edges
+    from unarxive_spark.operators.stats import build_vertices
+
+    t = transcripts_from_events(spark, sf_dir)
+    return enrich_edges(build_edges(t), build_vertices(t)).withColumnRenamed(
+        "dst_group", "dst_grp"
+    )
+
+
+SQL_EDGES_ENRICHED = f"""{VERTS_CTE}
+SELECT e.src_conv_id, e.dst_conv_id, e.weight,
+       v.category AS dst_category, v.grp AS dst_grp
+FROM edges e LEFT JOIN vattrs v ON v.conv_id = e.dst_conv_id"""
+
+
 GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_transcripts": q_transcripts,
     "q02_mine_refs": q_mine_refs,
@@ -467,6 +493,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_degree_distribution": q_degree_distribution,
     "q14_lpa": q_lpa,
     "q15_triangles_per_vertex": q_triangles_per_vertex,
+    "q16_edges_enriched": q_edges_enriched,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
@@ -485,4 +512,5 @@ GRAPH_ORACLES: dict[str, str] = {
     "q13_degree_distribution": SQL_DEGREE_DISTRIBUTION,
     # q14_lpa: intentionally no oracle (rows-only) — see docstring
     "q15_triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
+    "q16_edges_enriched": SQL_EDGES_ENRICHED,
 }
