@@ -402,13 +402,71 @@ SQL_ROLE_HISTOGRAM = (
 
 
 def q_lpa(spark, sf_dir):
-    """Deterministic synchronous LPA labels, 3 supersteps (rows-only
-    driver check: iterative argmax is not tractable in a DuckDB oracle;
-    exactness is pinned by the pure-Python oracle in tests/test_graph_ops
-    with the identical tie-break rule)."""
+    """Deterministic synchronous LPA labels, 3 supersteps. Oracle:
+    the 3 supersteps UNROLLED as chained CTEs (weighted tally +
+    windowed argmax with the same min-label tie-break); exactness also
+    pinned by the pure-Python oracle in tests/test_graph_ops."""
     from unarxive_spark.operators.lpa import label_propagation
 
     return label_propagation(_edges(spark, sf_dir), n_iter=3).labels
+
+
+SQL_LPA = f"""{GRAPH_PREFIX},
+undw AS (
+  SELECT u, v, SUM(weight) AS w FROM (
+    SELECT src_conv_id AS u, dst_conv_id AS v, weight FROM edges
+    UNION ALL
+    SELECT dst_conv_id, src_conv_id, weight FROM edges
+  ) WHERE u != v GROUP BY 1, 2
+),
+gverts AS (SELECT DISTINCT u AS conv_id FROM undw),
+l0 AS (SELECT conv_id, conv_id AS label FROM gverts),
+w1 AS (
+  SELECT conv_id, label FROM (
+    SELECT a.v AS conv_id, l.label,
+           row_number() OVER (PARTITION BY a.v
+                              ORDER BY SUM(a.w) DESC, l.label ASC) AS rn
+    FROM undw a JOIN l0 l ON l.conv_id = a.u
+    GROUP BY a.v, l.label
+  ) WHERE rn = 1
+),
+l1 AS (
+  SELECT g.conv_id, COALESCE(w.label, p.label) AS label
+  FROM gverts g
+  JOIN l0 p ON p.conv_id = g.conv_id
+  LEFT JOIN w1 w ON w.conv_id = g.conv_id
+),
+w2 AS (
+  SELECT conv_id, label FROM (
+    SELECT a.v AS conv_id, l.label,
+           row_number() OVER (PARTITION BY a.v
+                              ORDER BY SUM(a.w) DESC, l.label ASC) AS rn
+    FROM undw a JOIN l1 l ON l.conv_id = a.u
+    GROUP BY a.v, l.label
+  ) WHERE rn = 1
+),
+l2 AS (
+  SELECT g.conv_id, COALESCE(w.label, p.label) AS label
+  FROM gverts g
+  JOIN l1 p ON p.conv_id = g.conv_id
+  LEFT JOIN w2 w ON w.conv_id = g.conv_id
+),
+w3 AS (
+  SELECT conv_id, label FROM (
+    SELECT a.v AS conv_id, l.label,
+           row_number() OVER (PARTITION BY a.v
+                              ORDER BY SUM(a.w) DESC, l.label ASC) AS rn
+    FROM undw a JOIN l2 l ON l.conv_id = a.u
+    GROUP BY a.v, l.label
+  ) WHERE rn = 1
+),
+l3 AS (
+  SELECT g.conv_id, COALESCE(w.label, p.label) AS label
+  FROM gverts g
+  JOIN l2 p ON p.conv_id = g.conv_id
+  LEFT JOIN w3 w ON w.conv_id = g.conv_id
+)
+SELECT conv_id, label FROM l3"""
 
 
 def q_triangles_per_vertex(spark, sf_dir):
@@ -510,7 +568,7 @@ GRAPH_ORACLES: dict[str, str] = {
     "q11_link_rate": SQL_LINK_RATE,
     "q12_role_histogram": SQL_ROLE_HISTOGRAM,
     "q13_degree_distribution": SQL_DEGREE_DISTRIBUTION,
-    # q14_lpa: intentionally no oracle (rows-only) — see docstring
+    "q14_lpa": SQL_LPA,
     "q15_triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "q16_edges_enriched": SQL_EDGES_ENRICHED,
 }
