@@ -75,3 +75,30 @@ def test_lsh_recall(emb, queries):
     # self-match must always survive (identical sketch)
     for q in exact_sets:
         assert q in approx_sets.get(q, set())
+
+
+def test_ivf_recall_and_determinism(emb, queries):
+    from unarxive_spark.operators.similarity import ivf_ann_topk
+
+    k = 10
+    exact = cosine_topk(emb, queries, k=k).collect()
+    approx = ivf_ann_topk(
+        emb, queries, k=k, n_centroids=8, n_probe=4
+    ).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / k
+        for q in exact_sets
+    ]
+    # probing half the lists: expect roughly >= half the neighborhood
+    assert sum(recalls) / len(recalls) >= 0.4
+    # self-match survives (its own list is always the nearest probe)
+    for q in exact_sets:
+        assert q in approx_sets.get(q, set())
+    # deterministic: same result both runs (no sampling anywhere)
+    again = ivf_ann_topk(emb, queries, k=k, n_centroids=8, n_probe=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, approx))

@@ -112,6 +112,145 @@ def hyperplane_sketch(
     return sum(bits[1:], bits[0])
 
 
+def ivf_index(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF (inverted-file) index: deterministic k-means-lite.
+
+    Centroids initialize from the ``n_centroids`` lowest-id vectors
+    (deterministic — no sampling), refine with ``lloyd_iters`` Lloyd
+    steps, then every vector is assigned to its nearest centroid. All
+    DataFrame ops: assignment is a broadcast cross join + argmin window;
+    the update step is a groupBy mean per dimension via posexplode.
+
+    Returns (assignments(id, vec, norm, centroid_id), centroids DF).
+    At scale the assignment table is written partitioned by
+    ``centroid_id`` — queries probe only the nearest lists (partition
+    pruning instead of a full scan).
+    """
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("norm"),
+    ).filter(F.col("norm") > 0)
+
+    centroids = (
+        v.orderBy("id")
+        .limit(n_centroids)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("id"))
+            .alias("centroid_id"),
+            F.col("vec").alias("cvec"),
+        )
+    )
+
+    def assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
+        scored = vectors.crossJoin(F.broadcast(cents)).select(
+            "id",
+            "vec",
+            "norm",
+            "centroid_id",
+            (
+                _dot(F.col("vec"), F.col("cvec"))
+                / (F.col("norm") * _norm(F.col("cvec")))
+            ).alias("sim"),
+        )
+        w = Window.partitionBy("id").orderBy(
+            F.desc("sim"), F.asc("centroid_id")
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .drop("_rn", "sim")
+        )
+
+    for _ in range(lloyd_iters):
+        assigned = assign(v, centroids)
+        # mean per (centroid, dimension): posexplode → groupBy → rebuild
+        centroids = (
+            assigned.select(
+                "centroid_id", F.posexplode("vec").alias("pos", "x")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "centroid_id",
+                F.transform("pm", lambda s: s["m"].cast("float")).alias(
+                    "cvec"
+                ),
+            )
+        )
+
+    return assign(v, centroids), centroids
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k via IVF: probe the ``n_probe`` nearest centroid
+    lists per query, exact cosine re-rank inside the probed lists."""
+    assigned, centroids = ivf_index(
+        emb, n_centroids, dim, id_col, vec_col
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qv"),
+        _norm(F.col(query_vec_col)).alias("qnorm"),
+    )
+    q_cent = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "qv",
+        "qnorm",
+        "centroid_id",
+        (
+            _dot(F.col("qv"), F.col("cvec"))
+            / (F.col("qnorm") * _norm(F.col("cvec")))
+        ).alias("sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("centroid_id")
+    )
+    probes = (
+        q_cent.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "qv", "qnorm", "centroid_id")
+    )
+    cands = assigned.join(F.broadcast(probes), "centroid_id")
+    scored = cands.select(
+        "query_id",
+        "id",
+        (_dot(F.col("vec"), F.col("qv")) / (F.col("norm") * F.col("qnorm"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     queries: DataFrame,
