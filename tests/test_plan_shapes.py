@@ -56,8 +56,12 @@ def test_edge_build_is_jvm_only_and_broadcasts(spark):
     # zero Python in the edge-build hot path (regexp_extract_all is JVM)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
-    # the vertex-resolution semi join is broadcast
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "LeftSemi" in plan
+    # no forced broadcast hint (vertex set is huge at target scale) —
+    # AQE must still pick a broadcast for the small side AT RUNTIME:
+    e.count()
+    final = _formatted(e)
+    assert "BroadcastHashJoin" in final or "BroadcastExchange" in final, final
     assert "WholeStageCodegen" in _explain(e, "codegen")
 
 

@@ -53,6 +53,7 @@ def build_edges(
     transcripts: DataFrame,
     resolve: bool = True,
     drop_self_loops: bool = True,
+    broadcast_vertices: bool = False,
 ) -> DataFrame:
     """transcripts → edges(src_conv_id, dst_conv_id, weight).
 
@@ -61,6 +62,12 @@ def build_edges(
     OpenAlex-resolved subset, ~44% of raw references,
     /root/reference/README.md:28). Weight = number of marker occurrences
     (duplicates within a turn accumulate, matching calc_stats.py:213-223).
+
+    ``broadcast_vertices``: leave False at scale — the vertex set is one
+    row per conversation (10^9-10^10 at the target scale; a forced
+    broadcast would OOM the driver). The planner/AQE broadcasts the semi
+    join automatically whenever the distinct-id side is actually small,
+    so the hint only matters when statistics mislead.
     """
     pairs = mine_refs(transcripts)
     if drop_self_loops:
@@ -69,7 +76,9 @@ def build_edges(
         vertices = transcripts.select(
             F.col("conv_id").alias("ref_id")
         ).distinct()
-        pairs = pairs.join(F.broadcast(vertices), "ref_id", "left_semi")
+        if broadcast_vertices:
+            vertices = F.broadcast(vertices)
+        pairs = pairs.join(vertices, "ref_id", "left_semi")
     return (
         pairs.groupBy("src_conv_id", F.col("ref_id").alias("dst_conv_id"))
         .agg(F.count(F.lit(1)).cast("double").alias("weight"))
@@ -87,8 +96,10 @@ def edge_resolution_metrics(transcripts: DataFrame) -> DataFrame:
         F.col("src_conv_id") != F.col("ref_id")
     )
     vertices = transcripts.select(F.col("conv_id").alias("ref_id")).distinct()
+    # no broadcast hint: the vertex dim is per-conversation (huge at
+    # target scale); planner broadcasts automatically when small
     tagged = pairs.join(
-        F.broadcast(vertices.withColumn("resolved", F.lit(1))), "ref_id", "left"
+        vertices.withColumn("resolved", F.lit(1)), "ref_id", "left"
     )
     return tagged.agg(
         F.count(F.lit(1)).alias("n_refs"),
@@ -104,14 +115,15 @@ def enrich_edges(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     """Attach destination-side attributes to each edge — the
     ``extend_matched`` analog (/root/reference/src/extend_matched.py:
     101-131: attach cited work's discipline + arXiv ID to each resolved
-    reference). Broadcast left join on dst; missing attrs stay null
-    (reference keeps unmatched entries with empty ids)."""
+    reference). Left join on dst; missing attrs stay null (reference
+    keeps unmatched entries with empty ids)."""
     dst_attrs = vertices.select(
         F.col("conv_id").alias("dst_conv_id"),
         F.col("category").alias("dst_category"),
         F.col("group").alias("dst_group"),
     )
-    return edges.join(F.broadcast(dst_attrs), "dst_conv_id", "left").select(
+    # per-conversation attrs — big at scale; planner picks the strategy
+    return edges.join(dst_attrs, "dst_conv_id", "left").select(
         "src_conv_id", "dst_conv_id", "weight", "dst_category", "dst_group"
     )
 

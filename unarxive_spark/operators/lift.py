@@ -80,7 +80,8 @@ def reinline(turns_lifted: DataFrame, entries: DataFrame) -> DataFrame:
     place of their markers (used by the round-trip invariant test).
     Join on the entry key, then a single string replace."""
     e = entries.select("entry_id", "payload")
-    joined = turns_lifted.join(F.broadcast(e), "entry_id", "left")
+    # entries scale with the corpus — no broadcast hint
+    joined = turns_lifted.join(e, "entry_id", "left")
     restored = F.when(
         F.col("entry_id").isNotNull(), F.col("payload")
     ).otherwise(F.col("tool"))

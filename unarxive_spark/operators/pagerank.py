@@ -69,10 +69,19 @@ def pagerank(
     checkpoint_dir: str | None = None,
     n_salts: int = 16,
     vertices: DataFrame | None = None,
+    initial_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     """Run PageRank to convergence. ``checkpoint_dir`` enables resumable
     per-iteration commits; a rerun with the same dir continues from the
-    last committed superstep."""
+    last committed superstep.
+
+    ``initial_ranks`` (conv_id, rank) warm-starts the iteration — the
+    incremental-recompute path (SURVEY.md §2.9: new data = re-run over
+    the updated edge table): seeding with the previous converged scores
+    converges in far fewer supersteps than a cold start. New vertices
+    get the uniform prior; the vector is renormalized to Σ=1 so the
+    fixpoint is unchanged.
+    """
     spark = edges.sparkSession
     ckpt = CheckpointManager(spark, checkpoint_dir)
 
@@ -112,6 +121,19 @@ def pagerank(
     if resumed is not None:
         ranks = ckpt.restore(resumed)
         start_iter = resumed + 1
+    elif initial_ranks is not None:
+        seeded = vertices.join(
+            initial_ranks.select("conv_id", F.col("rank").alias("_r0")),
+            "conv_id",
+            "left",
+        ).select(
+            "conv_id",
+            F.coalesce("_r0", F.lit(1.0 / n)).alias("rank"),
+        )
+        total = seeded.agg(F.sum("rank")).collect()[0][0] or 1.0
+        ranks = seeded.select(
+            "conv_id", (F.col("rank") / F.lit(float(total))).alias("rank")
+        ).localCheckpoint(eager=True)
     else:
         ranks = vertices.select(
             "conv_id", F.lit(1.0 / n).alias("rank")

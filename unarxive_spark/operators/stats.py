@@ -60,9 +60,11 @@ def build_vertices(transcripts: DataFrame) -> DataFrame:
     exploded = per_turn.select(
         "conv_id", F.explode_outer("ref_ids").alias("ref_id")
     )
+    # no broadcast hint: vertex_ids is per-conversation (huge at target
+    # scale); planner auto-broadcasts when actually small
     linked = (
         exploded.join(
-            F.broadcast(vertex_ids.withColumn("ok", F.lit(1))),
+            vertex_ids.withColumn("ok", F.lit(1)),
             "ref_id",
             "left",
         )
