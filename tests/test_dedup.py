@@ -116,3 +116,21 @@ def test_embedding_dups(spark):
         for r in embedding_dup_pairs(both, threshold=0.999).collect()
     }
     assert {(i, i + 50000) for i in range(3)} <= got
+
+
+def test_prefix_filter_is_lossless(docs_with_dups):
+    """PPJoin prefix filtering must return EXACTLY the unfiltered result."""
+    for thr in (0.8, 0.3):
+        plain = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs(
+                docs_with_dups, threshold=thr
+            ).collect()
+        }
+        filtered = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs(
+                docs_with_dups, threshold=thr, prefix_filter=True
+            ).collect()
+        }
+        assert filtered == plain, thr
