@@ -88,6 +88,11 @@ class LinkGraph:
     def triangles_per_vertex(self) -> DataFrame:
         return triangles_per_vertex(self.edges)
 
+    def bfs(self, sources: list[str], max_hops: int = 20) -> DataFrame:
+        from unarxive_spark.operators.bfs import bfs_distances
+
+        return bfs_distances(self.edges, sources, max_hops)
+
     def degrees(self) -> DataFrame:
         return _deg.degrees(self.edges)
 

@@ -493,6 +493,28 @@ FROM (
 ) GROUP BY 1"""
 
 
+def q_bfs(spark, sf_dir):
+    """BFS hop distances from the first conversation (frontier-expansion
+    supersteps; oracle = shortest-hop recursive CTE)."""
+    from unarxive_spark.operators.bfs import bfs_distances
+
+    return bfs_distances(_edges(spark, sf_dir), ["c000000"], max_hops=10)
+
+
+SQL_BFS = f"""{GRAPH_PREFIX},
+reach AS (
+  WITH RECURSIVE r(conv_id, distance) AS (
+    SELECT 'c000000', 0
+    UNION
+    SELECT e.dst_conv_id, r.distance + 1
+    FROM r JOIN edges e ON e.src_conv_id = r.conv_id
+    WHERE r.distance < 10
+  ) SELECT * FROM r
+)
+SELECT conv_id, CAST(min(distance) AS INT) AS distance
+FROM reach GROUP BY 1 HAVING min(distance) <= 10"""
+
+
 def q_degree_distribution(spark, sf_dir):
     """In-degree distribution histogram (log2 buckets) — the degree-skew
     diagnostic that motivates salting (hub fixture visible as a heavy
@@ -552,6 +574,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q14_lpa": q_lpa,
     "q15_triangles_per_vertex": q_triangles_per_vertex,
     "q16_edges_enriched": q_edges_enriched,
+    "q17_bfs": q_bfs,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
@@ -571,4 +594,5 @@ GRAPH_ORACLES: dict[str, str] = {
     "q14_lpa": SQL_LPA,
     "q15_triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "q16_edges_enriched": SQL_EDGES_ENRICHED,
+    "q17_bfs": SQL_BFS,
 }
