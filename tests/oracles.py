@@ -15,9 +15,12 @@ def pagerank_oracle(
     tol: float = 1e-6,
     max_iter: int = 100,
     weighted: bool = True,
+    personalization: list[str] | None = None,
 ) -> dict[str, float]:
-    """Power iteration with weighted transitions + uniform dangling-mass
-    redistribution — the exact semantics of operators/pagerank.py."""
+    """Power iteration with weighted transitions + dangling-mass
+    redistribution to the teleport vector — the exact semantics of
+    operators/pagerank.py (uniform teleport, or personalized over a
+    source set)."""
     verts = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
     idx = {v: i for i, v in enumerate(verts)}
     n = len(verts)
@@ -26,6 +29,12 @@ def pagerank_oracle(
     out_w = np.zeros(n)
     for s, _, w in edges:
         out_w[idx[s]] += w if weighted else 1.0
+    p = np.full(n, 1.0 / n)
+    if personalization:
+        p = np.zeros(n)
+        for v in personalization:
+            if v in idx:
+                p[idx[v]] = 1.0 / len(personalization)
     r = np.full(n, 1.0 / n)
     for _ in range(max_iter):
         contrib = np.zeros(n)
@@ -33,7 +42,7 @@ def pagerank_oracle(
             ww = w if weighted else 1.0
             contrib[idx[d]] += r[idx[s]] * ww / out_w[idx[s]]
         dangling = r[out_w == 0].sum()
-        new = (1 - damping) / n + damping * (contrib + dangling / n)
+        new = p * ((1 - damping) + damping * dangling) + damping * contrib
         delta = np.abs(new - r).max()
         r = new
         if delta < tol:

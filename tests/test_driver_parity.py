@@ -69,6 +69,26 @@ def test_query_matches_oracle(spark, con, name, fn, sql):
         spark_cols,
         duck_cols,
     )
+    # type parity: a schema-hash-style compare must not trip on dtypes
+    duck_types = dict(zip(rel.columns, [str(t) for t in rel.types]))
+    type_map = {
+        "bigint": "BIGINT",
+        "int": "INTEGER",
+        "double": "DOUBLE",
+        "float": "FLOAT",
+        "string": "VARCHAR",
+        "timestamp": "TIMESTAMP",
+        "boolean": "BOOLEAN",
+    }
+    for f in sdf.schema.fields:
+        expect = type_map.get(f.dataType.simpleString())
+        if expect is not None:
+            assert duck_types[f.name] == expect, (
+                name,
+                f.name,
+                f.dataType.simpleString(),
+                duck_types[f.name],
+            )
     assert len(spark_rows) == len(duck_rows), (
         name,
         len(spark_rows),

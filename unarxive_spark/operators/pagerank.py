@@ -70,6 +70,7 @@ def pagerank(
     n_salts: int = 16,
     vertices: DataFrame | None = None,
     initial_ranks: DataFrame | None = None,
+    personalization: list[str] | None = None,
 ) -> PageRankResult:
     """Run PageRank to convergence. ``checkpoint_dir`` enables resumable
     per-iteration commits; a rerun with the same dir continues from the
@@ -81,6 +82,11 @@ def pagerank(
     converges in far fewer supersteps than a cold start. New vertices
     get the uniform prior; the vector is renormalized to Σ=1 so the
     fixpoint is unchanged.
+
+    ``personalization``: conv_ids receiving the teleport mass (uniform
+    over the set) — personalized PageRank ("conversations related to
+    these"). Dangling mass teleports to the same set. None = classic
+    uniform teleport.
     """
     spark = edges.sparkSession
     ckpt = CheckpointManager(spark, checkpoint_dir)
@@ -162,6 +168,14 @@ def pagerank(
             )
         else:
             dmass_df = spark.range(1).select(F.lit(0.0).alias("_dm"))
+        if personalization:
+            # teleport vector p(v): 1/|S| on the source set, else 0
+            p_v = F.when(
+                F.col("conv_id").isin(*personalization),
+                F.lit(1.0 / len(personalization)),
+            ).otherwise(F.lit(0.0))
+        else:
+            p_v = F.lit(1.0 / n)
         new_ranks = (
             vertices.join(
                 gathered.withColumnRenamed("dst", "conv_id"), "conv_id", "left"
@@ -170,8 +184,11 @@ def pagerank(
             .select(
                 "conv_id",
                 (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping / n) * F.col("_dm")
+                    p_v
+                    * (
+                        F.lit(1.0 - damping)
+                        + F.lit(damping) * F.col("_dm")
+                    )
                     + F.lit(damping) * F.coalesce(F.col("g"), F.lit(0.0))
                 ).alias("rank"),
             )
