@@ -515,6 +515,44 @@ SELECT conv_id, CAST(min(distance) AS INT) AS distance
 FROM reach GROUP BY 1 HAVING min(distance) <= 10"""
 
 
+def q_graph_stats(spark, sf_dir):
+    """Corpus-level headline numbers in one row — the analog of the
+    reference's published dataset stats (README.md:27-31: papers,
+    references, linked references, markers)."""
+    t = transcripts_from_events(spark, sf_dir)
+    e = build_edges(t)
+    refs = F.concat(extract_ref_ids("text"), extract_ref_ids("tool"))
+    base = t.agg(
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.size(refs)).alias("n_markers"),
+    )
+    graph = e.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum("weight").alias("n_linked_markers"),
+        F.max("weight").alias("max_edge_weight"),
+    )
+    return base.crossJoin(graph).select(
+        "n_convs",
+        "n_turns",
+        F.col("n_markers").cast("long").alias("n_markers"),
+        "n_edges",
+        "n_linked_markers",
+        "max_edge_weight",
+    )
+
+
+SQL_GRAPH_STATS = f"""{GRAPH_PREFIX}
+SELECT
+  (SELECT CAST(count(DISTINCT conv_id) AS BIGINT) FROM transcripts) AS n_convs,
+  (SELECT CAST(count(*) AS BIGINT) FROM transcripts) AS n_turns,
+  (SELECT CAST(sum(len(regexp_extract_all(text || ' ' || tool,
+        'conv:([A-Za-z0-9_-]+)', 1))) AS BIGINT) FROM transcripts) AS n_markers,
+  (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+  (SELECT sum(weight) FROM edges) AS n_linked_markers,
+  (SELECT max(weight) FROM edges) AS max_edge_weight"""
+
+
 def q_degree_distribution(spark, sf_dir):
     """In-degree distribution histogram (log2 buckets) — the degree-skew
     diagnostic that motivates salting (hub fixture visible as a heavy
@@ -575,6 +613,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q15_triangles_per_vertex": q_triangles_per_vertex,
     "q16_edges_enriched": q_edges_enriched,
     "q17_bfs": q_bfs,
+    "q18_graph_stats": q_graph_stats,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
@@ -595,4 +634,5 @@ GRAPH_ORACLES: dict[str, str] = {
     "q15_triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "q16_edges_enriched": SQL_EDGES_ENRICHED,
     "q17_bfs": SQL_BFS,
+    "q18_graph_stats": SQL_GRAPH_STATS,
 }
