@@ -115,3 +115,61 @@ def triangles_oracle(edges: list[tuple[str, str, float]]) -> int:
             a[idx[s], idx[d]] = 1
             a[idx[d], idx[s]] = 1
     return int(np.trace(a @ a @ a) // 6)
+
+
+def scc_oracle(edges: list[tuple[str, str, float]]) -> dict[str, str]:
+    """Iterative Tarjan SCC; label = min conv_id of the component."""
+    verts = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    adj = defaultdict(list)
+    for s, d, _ in edges:
+        if s != d:
+            adj[s].append(d)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    out = {}
+    counter = [0]
+
+    def strongconnect(root):
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            nbrs = adj.get(v, [])
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                lbl = min(comp)
+                for w in comp:
+                    out[w] = lbl
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+
+    for v in verts:
+        if v not in index:
+            strongconnect(v)
+    return out

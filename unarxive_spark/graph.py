@@ -88,6 +88,13 @@ class LinkGraph:
     def triangles_per_vertex(self) -> DataFrame:
         return triangles_per_vertex(self.edges)
 
+    def strongly_connected_components(self, **kw):
+        from unarxive_spark.operators.scc import (
+            strongly_connected_components,
+        )
+
+        return strongly_connected_components(self.edges, **kw)
+
     def bfs(self, sources: list[str], max_hops: int = 20) -> DataFrame:
         from unarxive_spark.operators.bfs import bfs_distances
 
