@@ -100,6 +100,16 @@ class LinkGraph:
 
         return bfs_distances(self.edges, sources, max_hops)
 
+    def shortest_paths(self, source: str, **kw) -> DataFrame:
+        from unarxive_spark.operators.sssp import shortest_paths
+
+        return shortest_paths(self.edges, source, **kw)
+
+    def modularity(self, labels: DataFrame) -> float:
+        from unarxive_spark.operators.modularity import modularity
+
+        return modularity(self.edges, labels)
+
     def degrees(self) -> DataFrame:
         return _deg.degrees(self.edges)
 
