@@ -20,3 +20,10 @@ def test_facade_end_to_end(spark, transcripts_small):
     assert ee.filter("dst_category IS NULL").count() == 0
     m = LinkGraph.resolution_metrics(transcripts_small).collect()[0]
     assert 0 < m["link_rate"] < 1
+    # newer facade methods: SCC, SSSP, BFS, modularity
+    sp = g.shortest_paths(top[0]["conv_id"], max_rounds=10)
+    assert sp.filter("distance = 0").count() == 1
+    b = g.bfs([top[0]["conv_id"]], max_hops=2)
+    assert b.count() >= 1
+    q = g.modularity(g.label_propagation(n_iter=2).labels)
+    assert -0.5 <= q <= 1.0
