@@ -553,6 +553,33 @@ SELECT
   (SELECT max(weight) FROM edges) AS max_edge_weight"""
 
 
+def q_sssp(spark, sf_dir):
+    """Weighted single-source shortest paths from c000000 (Bellman-Ford
+    supersteps). Oracle: hop-capped recursive CTE (weights are integer
+    marker counts, so float sums compare exactly; the derived graph's
+    weighted-shortest paths use far fewer than 15 hops)."""
+    from unarxive_spark.operators.sssp import shortest_paths
+
+    return shortest_paths(_edges(spark, sf_dir), "c000000", max_rounds=20)
+
+
+SQL_SSSP = f"""{GRAPH_PREFIX},
+minw AS (
+  SELECT src_conv_id AS u, dst_conv_id AS v, min(weight) AS w
+  FROM edges WHERE src_conv_id != dst_conv_id GROUP BY 1, 2
+),
+walk AS (
+  WITH RECURSIVE r(conv_id, distance, hop) AS (
+    SELECT 'c000000', 0e0, 0
+    UNION
+    SELECT e.v, r.distance + e.w, r.hop + 1
+    FROM r JOIN minw e ON e.u = r.conv_id
+    WHERE r.hop < 15
+  ) SELECT * FROM r
+)
+SELECT conv_id, min(distance) AS distance FROM walk GROUP BY 1"""
+
+
 def q_degree_distribution(spark, sf_dir):
     """In-degree distribution histogram (log2 buckets) — the degree-skew
     diagnostic that motivates salting (hub fixture visible as a heavy
@@ -614,6 +641,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_edges_enriched": q_edges_enriched,
     "q17_bfs": q_bfs,
     "q18_graph_stats": q_graph_stats,
+    "q19_sssp": q_sssp,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
@@ -635,4 +663,5 @@ GRAPH_ORACLES: dict[str, str] = {
     "q16_edges_enriched": SQL_EDGES_ENRICHED,
     "q17_bfs": SQL_BFS,
     "q18_graph_stats": SQL_GRAPH_STATS,
+    "q19_sssp": SQL_SSSP,
 }
