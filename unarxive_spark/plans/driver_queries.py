@@ -580,6 +580,38 @@ walk AS (
 SELECT conv_id, min(distance) AS distance FROM walk GROUP BY 1"""
 
 
+def q_co_citation(spark, sf_dir):
+    """Co-citation pairs (Small 1973): shared-citer counts >= 3."""
+    from unarxive_spark.operators.cocitation import co_citation
+
+    return co_citation(_edges(spark, sf_dir), min_count=3)
+
+
+SQL_CO_CITATION = f"""{GRAPH_PREFIX},
+e AS (SELECT DISTINCT src_conv_id, dst_conv_id FROM edges)
+SELECT l.dst_conv_id AS a, r.dst_conv_id AS b,
+       CAST(count(*) AS BIGINT) AS n_common_citers
+FROM e l JOIN e r
+  ON l.src_conv_id = r.src_conv_id AND l.dst_conv_id < r.dst_conv_id
+GROUP BY 1, 2 HAVING count(*) >= 3"""
+
+
+def q_biblio_coupling(spark, sf_dir):
+    """Bibliographic coupling (Kessler 1963): shared-cited counts >= 3."""
+    from unarxive_spark.operators.cocitation import bibliographic_coupling
+
+    return bibliographic_coupling(_edges(spark, sf_dir), min_count=3)
+
+
+SQL_BIBLIO_COUPLING = f"""{GRAPH_PREFIX},
+e AS (SELECT DISTINCT src_conv_id, dst_conv_id FROM edges)
+SELECT l.src_conv_id AS a, r.src_conv_id AS b,
+       CAST(count(*) AS BIGINT) AS n_common_cited
+FROM e l JOIN e r
+  ON l.dst_conv_id = r.dst_conv_id AND l.src_conv_id < r.src_conv_id
+GROUP BY 1, 2 HAVING count(*) >= 3"""
+
+
 def q_degree_distribution(spark, sf_dir):
     """In-degree distribution histogram (log2 buckets) — the degree-skew
     diagnostic that motivates salting (hub fixture visible as a heavy
@@ -642,6 +674,8 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q17_bfs": q_bfs,
     "q18_graph_stats": q_graph_stats,
     "q19_sssp": q_sssp,
+    "q19a_co_citation": q_co_citation,
+    "q19b_biblio_coupling": q_biblio_coupling,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
@@ -664,4 +698,6 @@ GRAPH_ORACLES: dict[str, str] = {
     "q17_bfs": SQL_BFS,
     "q18_graph_stats": SQL_GRAPH_STATS,
     "q19_sssp": SQL_SSSP,
+    "q19a_co_citation": SQL_CO_CITATION,
+    "q19b_biblio_coupling": SQL_BIBLIO_COUPLING,
 }
