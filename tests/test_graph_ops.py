@@ -134,3 +134,40 @@ def test_triangles_golden(goldens, name, expect):
 
 def test_triangles_zipf(edges_small):
     assert triangle_count(edges_small) == triangles_oracle(_rows(edges_small))
+
+
+def test_triangle_orientation_bounds_hub_wedges(spark):
+    """Degree-ordered orientation (node-iterator++) gives the mega-hub
+    out-degree 0, so it pivots ZERO wedges; lexicographic orientation on
+    the same star generates |below|x|above| = quadratic-in-degree wedges.
+    This is the shape that decides whether the wedge join survives a
+    power-law 100x graph."""
+    from unarxive_spark.operators.triangles import canonical_edges, wedges
+
+    hub = "m500"  # lexicographically between the a* and z* leaves
+    leaves = [f"a{i:03d}" for i in range(30)] + [f"z{i:03d}" for i in range(30)]
+    rows = [(hub, leaf, 1.0) for leaf in leaves]
+    df = spark.createDataFrame(
+        rows, "src_conv_id string, dst_conv_id string, weight double"
+    )
+    w_deg = wedges(canonical_edges(df, by_degree=True)).count()
+    w_lex = wedges(canonical_edges(df, by_degree=False)).count()
+    assert w_lex == 30 * 30  # hub pivots every (below, above) pair
+    assert w_deg == 0  # hub has no out-edges under degree order
+    assert triangle_count(df) == 0
+
+
+def test_triangle_count_hub_with_triangles(spark):
+    """Counts stay exact under degree ordering when the hub participates
+    in triangles (hub + leaf-leaf closing edges)."""
+    hub = "m500"
+    leaves = [f"a{i:03d}" for i in range(10)]
+    rows = [(hub, leaf, 1.0) for leaf in leaves]
+    # close 4 triangles through the hub + one leaf-only triangle edge set
+    rows += [("a000", "a001", 1.0), ("a002", "a003", 1.0),
+             ("a004", "a005", 1.0), ("a006", "a007", 1.0),
+             ("a000", "a002", 1.0), ("a001", "a002", 1.0)]
+    df = spark.createDataFrame(
+        rows, "src_conv_id string, dst_conv_id string, weight double"
+    )
+    assert triangle_count(df) == triangles_oracle(_rows(df))

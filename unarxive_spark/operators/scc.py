@@ -33,7 +33,11 @@ class SCCResult:
 
 
 def _reach(adj: DataFrame, sources: DataFrame, max_hops: int) -> DataFrame:
-    """Vertex set reachable from ``sources`` over adj(u, v), inclusive."""
+    """Vertex set reachable from ``sources`` over adj(u, v), inclusive.
+
+    Raises if the frontier is still growing at ``max_hops`` — a silently
+    truncated F/B set would mislabel SCCs with no error (mirrors the
+    ``max_pivot_rounds`` RuntimeError)."""
     visited = sources
     frontier = sources
     for _ in range(max_hops):
@@ -45,11 +49,22 @@ def _reach(adj: DataFrame, sources: DataFrame, max_hops: int) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         if discovered.isEmpty():
-            break
+            return visited
         visited = visited.unionByName(discovered).localCheckpoint(
             eager=True
         )
         frontier = discovered
+    undiscovered = (
+        adj.join(frontier.withColumnRenamed("conv_id", "u"), "u")
+        .select(F.col("v").alias("conv_id"))
+        .distinct()
+        .join(visited, "conv_id", "left_anti")
+    )
+    if not undiscovered.isEmpty():
+        raise RuntimeError(
+            "SCC reachability did not close within max_hops; raise the "
+            "bound (graph diameter exceeds it)"
+        )
     return visited
 
 

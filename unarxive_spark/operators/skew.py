@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from unarxive_spark.functions.hashing import h64
+
 
 def salted_sum(
     df: DataFrame,
@@ -35,9 +37,14 @@ def salted_sum(
     ``salt_from`` is a column whose hash spreads a hot key's rows across
     ``n_salts`` reduce-side groups (for the PageRank gather: key=dst,
     salt_from=src).
+
+    The salt is the portable md5-derived ``h64`` (CLAUDE.md invariant:
+    portable hashing only in oracle-checked paths) — the salt never
+    reaches output values, but a portable partial-sum grouping keeps the
+    double-summation order deterministic across engines/runs.
     """
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts))
+        "_salt", F.pmod(h64(F.col(salt_from)), F.lit(n_salts))
     )
     partial = salted.groupBy(key, "_salt").agg(value.alias(out))
     return partial.groupBy(key).agg(F.sum(out).alias(out))

@@ -23,8 +23,14 @@ def shortest_paths(
     source: str,
     max_rounds: int = 50,
     checkpoint_dir: str | None = None,
+    strict: bool = True,
 ) -> DataFrame:
-    """→ (conv_id, distance double) for vertices reachable from source."""
+    """→ (conv_id, distance double) for vertices reachable from source.
+
+    ``strict=True`` (default) raises when ``max_rounds`` is exhausted
+    while distances are still improving — otherwise callers would get a
+    silent upper bound instead of shortest paths. Pass ``strict=False``
+    to accept the bounded relaxation (e.g. hop-limited distances)."""
     spark = edges.sparkSession
     ckpt = CheckpointManager(spark, checkpoint_dir)
     adj = (
@@ -42,6 +48,7 @@ def shortest_paths(
     dist = spark.createDataFrame(
         [(source, 0.0)], "conv_id string, distance double"
     )
+    n_improved = 0
     for rnd in range(max_rounds):
         relaxed = (
             adj.join(dist.withColumnRenamed("conv_id", "u"), "u")
@@ -70,4 +77,10 @@ def shortest_paths(
         if n_improved == 0:
             break
     adj.unpersist()
+    if strict and n_improved > 0:
+        raise RuntimeError(
+            f"SSSP still improving after max_rounds={max_rounds}; "
+            "distances would be upper bounds, not shortest paths — "
+            "raise the bound or pass strict=False"
+        )
     return dist

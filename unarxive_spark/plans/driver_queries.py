@@ -238,16 +238,13 @@ SELECT u AS conv_id, min(v) AS component FROM reach GROUP BY u"""
 
 
 def q_triangles(spark, sf_dir):
-    """Total triangle count (single row)."""
-    from unarxive_spark.operators.triangles import canonical_edges
+    """Total triangle count (single row). Degree-ordered orientation —
+    the count is orientation-invariant, so the lexicographic oracle SQL
+    still pins it exactly."""
+    from unarxive_spark.operators.triangles import canonical_edges, wedges
 
     e = canonical_edges(_edges(spark, sf_dir))
-    wedges = (
-        e.alias("e1")
-        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
-        .select(F.col("e1.a").alias("x"), F.col("e2.b").alias("z"))
-    )
-    closed = wedges.join(
+    closed = wedges(e).join(
         e.alias("e3"),
         (F.col("x") == F.col("e3.a")) & (F.col("z") == F.col("e3.b")),
         "left_semi",
@@ -553,14 +550,20 @@ SELECT
   (SELECT max(weight) FROM edges) AS max_edge_weight"""
 
 
+SSSP_MAX_ROUNDS = 20  # shared engine/oracle bound — keep both in lockstep
+
+
 def q_sssp(spark, sf_dir):
     """Weighted single-source shortest paths from c000000 (Bellman-Ford
-    supersteps). Oracle: hop-capped recursive CTE (weights are integer
-    marker counts, so float sums compare exactly; the derived graph's
-    weighted-shortest paths use far fewer than 15 hops)."""
+    supersteps, strict: raises if not converged within the bound).
+    Oracle: recursive CTE capped at the SAME hop bound, so any path the
+    converged engine could use is enumerated (weights are integer marker
+    counts, so float sums compare exactly)."""
     from unarxive_spark.operators.sssp import shortest_paths
 
-    return shortest_paths(_edges(spark, sf_dir), "c000000", max_rounds=20)
+    return shortest_paths(
+        _edges(spark, sf_dir), "c000000", max_rounds=SSSP_MAX_ROUNDS
+    )
 
 
 SQL_SSSP = f"""{GRAPH_PREFIX},
@@ -574,7 +577,7 @@ walk AS (
     UNION
     SELECT e.v, r.distance + e.w, r.hop + 1
     FROM r JOIN minw e ON e.u = r.conv_id
-    WHERE r.hop < 15
+    WHERE r.hop < {SSSP_MAX_ROUNDS}
   ) SELECT * FROM r
 )
 SELECT conv_id, min(distance) AS distance FROM walk GROUP BY 1"""

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import time
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -116,7 +117,11 @@ class CheckpointManager:
         )
 
     def last_committed(self) -> int | None:
-        """Max committed iteration, or None if fresh."""
+        """Max committed iteration, or None if fresh.
+
+        Only a *missing* lineage path means "fresh run" — a corrupt or
+        permission-broken lineage table must propagate, not silently
+        restart from iteration 0 and overwrite prior state."""
         if not self.enabled:
             return None
         try:
@@ -126,8 +131,12 @@ class CheckpointManager:
                 .agg(F.max("iteration").alias("it"))
                 .collect()[0]
             )
-        except Exception:  # noqa: BLE001 — no lineage yet
-            return None
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(
+                exc
+            ):
+                return None  # no lineage yet — fresh run
+            raise
         return row["it"] if row["it"] is not None else None
 
     def restore(self, iteration: int) -> DataFrame:
