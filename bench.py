@@ -34,7 +34,11 @@ from unarxive_spark.session import get_spark, stop_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "200000"))
+# Scaling-leg graph size: large enough that per-superstep COMPUTE
+# dominates the fixed serial stage/scheduling floor (~0.5-1 s/superstep)
+# even at 32 cores — at 200k convs (3.6 M edges) the 32-core superstep
+# was pure floor and the 8→32 leg measured the floor, not the algorithm.
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "600000"))
 SCALE_ITERS = int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "7"))
 EDGES_PATH = os.environ.get(
     "SPARK_GRAFT_BENCH_EDGES", "/tmp/unarxive_bench_edges"
@@ -67,7 +71,9 @@ def headline_queries(spark) -> dict[str, float]:
     _, dt = _timed(edges.count)
     times["edge_build"] += dt
     _, times["pagerank"] = _timed(
-        lambda: pagerank(edges, tol=1e-6, max_iter=50).ranks.count()
+        lambda: pagerank(
+            edges, tol=1e-6, max_iter=50, superstep_aqe=False
+        ).ranks.count()
     )
     _, times["components"] = _timed(
         lambda: connected_components(edges).components.count()
@@ -152,7 +158,9 @@ def pagerank_leg(cores: int, n_edges: int) -> dict[str, float]:
         shuffle_partitions=cores * 2,
     )
     e = spark.read.parquet(EDGES_PATH)
-    res = pagerank(e, tol=-1.0, max_iter=SCALE_ITERS)
+    # AQE off in the loop: identical plan every superstep, so adaptive
+    # re-planning is pure per-stage barrier overhead at this scale
+    res = pagerank(e, tol=-1.0, max_iter=SCALE_ITERS, superstep_aqe=False)
     res.ranks.count()
     stop_spark()
     warm = res.superstep_secs[1:]

@@ -1,0 +1,109 @@
+"""Co-citation / bibliographic coupling: brute-force oracle + hub cap.
+
+The max_degree cap is the scale guard: the self-join on the shared
+endpoint fans out quadratically in that endpoint's degree, so a single
+mega-hub citer contributes O(d^2) candidate pairs. The cap drops those
+hubs from candidate generation entirely.
+"""
+
+import itertools
+
+import pytest
+
+from unarxive_spark.operators.cocitation import (
+    bibliographic_coupling,
+    co_citation,
+)
+
+SCHEMA = "src_conv_id string, dst_conv_id string, weight double"
+
+
+def _cocite_oracle(rows, min_count=1, max_degree=None):
+    """Pure-Python co-citation over distinct (src, dst)."""
+    by_src = {}
+    for s, d, _ in rows:
+        by_src.setdefault(s, set()).add(d)
+    pairs = {}
+    for s, dsts in by_src.items():
+        if max_degree is not None and len(dsts) > max_degree:
+            continue
+        for a, b in itertools.combinations(sorted(dsts), 2):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    return {p: n for p, n in pairs.items() if n >= min_count}
+
+
+@pytest.fixture(scope="module")
+def hub_graph(spark):
+    # 3 normal citers sharing targets + 1 mega-hub citing everything
+    rows = []
+    targets = [f"t{i:02d}" for i in range(20)]
+    rows += [("s0", t, 1.0) for t in targets[:4]]
+    rows += [("s1", t, 1.0) for t in targets[:4]]
+    rows += [("s2", t, 1.0) for t in targets[2:6]]
+    rows += [("hub", t, 1.0) for t in targets]  # degree 20
+    return (
+        spark.createDataFrame(rows, SCHEMA).cache(),
+        rows,
+    )
+
+
+def test_co_citation_matches_oracle(hub_graph):
+    df, rows = hub_graph
+    got = {
+        (r["a"], r["b"]): r["n_common_citers"]
+        for r in co_citation(df, min_count=1).collect()
+    }
+    assert got == _cocite_oracle(rows, min_count=1)
+
+
+def test_co_citation_cap_drops_hub(hub_graph):
+    df, rows = hub_graph
+    capped = {
+        (r["a"], r["b"]): r["n_common_citers"]
+        for r in co_citation(df, min_count=1, max_degree=10).collect()
+    }
+    assert capped == _cocite_oracle(rows, min_count=1, max_degree=10)
+    # the hub alone supported C(20,2)=190 pairs; capped candidates are
+    # bounded by the low-degree citers only
+    uncapped = co_citation(df, min_count=1).count()
+    assert uncapped >= 190
+    assert co_citation(df, min_count=1, max_degree=10).count() <= 15
+
+
+def test_biblio_coupling_cap(spark):
+    # mirror image: one mega-cited target couples all its citers
+    rows = [(f"s{i:02d}", "hubT", 1.0) for i in range(20)]
+    rows += [("s00", "x", 1.0), ("s01", "x", 1.0)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    assert bibliographic_coupling(df).count() == 190 + 0  # (s00,s01) via hubT too
+    capped = {
+        (r["a"], r["b"])
+        for r in bibliographic_coupling(df, max_degree=10).collect()
+    }
+    assert capped == {("s00", "s01")}  # only the degree-2 target survives
+
+
+def test_driver_cap_binds_and_matches_duckdb(spark):
+    """q19a/q19b at sf0.001: the capped engine result must equal the
+    capped DuckDB oracle (full value compare, not just counts)."""
+    import duckdb
+
+    from unarxive_spark.plans.driver_queries import (
+        SQL_BIBLIO_COUPLING,
+        SQL_CO_CITATION,
+        q_biblio_coupling,
+        q_co_citation,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "'/root/testdata/sf0.001/events.parquet'"
+    )
+    for fn, sql in (
+        (q_co_citation, SQL_CO_CITATION),
+        (q_biblio_coupling, SQL_BIBLIO_COUPLING),
+    ):
+        got = sorted(map(tuple, fn(spark, "/root/testdata/sf0.001").collect()))
+        want = sorted(map(tuple, con.execute(sql).fetchall()))
+        assert got == want

@@ -110,12 +110,21 @@ def test_embedding_dups(spark):
     dup = emb.filter("vec_id < 3").select(
         (F.col("vec_id") + 50000).alias("vec_id"), "embedding", "label"
     )
-    both = emb.unionByName(dup)
+    both = emb.unionByName(dup).cache()
     got = {
         (r["id_a"], r["id_b"])
         for r in embedding_dup_pairs(both, threshold=0.999).collect()
     }
     assert {(i, i + 50000) for i in range(3)} <= got
+    # banded-LSH candidates + exact verify == brute force on this corpus
+    # (identical injected dups share every band; recall ~1-9e-11 at 0.999)
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(
+            both, threshold=0.999, exact=True
+        ).collect()
+    }
+    assert got == brute
 
 
 def test_prefix_filter_is_lossless(docs_with_dups):

@@ -61,3 +61,71 @@ def test_label_counts_threshold(spark, transcripts_small):
     lc = {r["label"]: r["n_convs"] for r in label_counts(samples).collect()}
     assert set(lc) == {"user", "assistant", "tool"}
     assert all(v >= 3 for v in lc.values())
+
+
+# ---------------- proportional-minima split ----------------
+
+
+def test_stratified_minima_exact_allocation(spark):
+    """Every (month, label) stratum contributes EXACTLY ceil(N*share)
+    rows to dev and test — including the N=1 and N=7 rare strata the
+    hash-bucket split can starve (ml_tasks_split_data.py:155-171)."""
+    import math
+
+    from unarxive_spark.operators.mltasks import stratified_split_minima
+
+    rows = []
+    # skewed strata: 1000 / 40 / 7 / 1 rows
+    for i in range(1000):
+        rows.append((f"id{i:05d}", "2024-01", "big"))
+    for i in range(40):
+        rows.append((f"md{i:05d}", "2024-01", "mid"))
+    for i in range(7):
+        rows.append((f"rr{i:05d}", "2024-02", "rare"))
+    rows.append(("solo0", "2024-02", "solo"))
+    df = spark.createDataFrame(rows, "_id string, month string, label string")
+    out = stratified_split_minima(
+        df, strata_cols=("month", "label"), train=0.8, dev=0.1
+    )
+    got = {
+        (r["month"], r["label"], r["split"]): r["n"]
+        for r in out.groupBy("month", "label", "split")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    for month, label, n in [
+        ("2024-01", "big", 1000),
+        ("2024-01", "mid", 40),
+        ("2024-02", "rare", 7),
+        ("2024-02", "solo", 1),
+    ]:
+        n_dev = math.ceil(n * 0.1)
+        n_test = min(math.ceil(n * 0.1), n - n_dev)
+        assert got.get((month, label, "dev"), 0) == n_dev, (label, got)
+        assert got.get((month, label, "test"), 0) == n_test, (label, got)
+        assert (
+            got.get((month, label, "train"), 0) == n - n_dev - n_test
+        ), (label, got)
+
+
+def test_stratified_minima_deterministic_across_partitioning(spark):
+    from unarxive_spark.operators.mltasks import stratified_split_minima
+
+    rows = [(f"id{i:04d}", "m", "l" + str(i % 3)) for i in range(200)]
+    df = spark.createDataFrame(rows, "_id string, month string, label string")
+    a = sorted(
+        map(
+            tuple,
+            stratified_split_minima(df, ("label",)).select("_id", "split").collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            stratified_split_minima(df.repartition(13), ("label",))
+            .select("_id", "split")
+            .collect(),
+        )
+    )
+    assert a == b

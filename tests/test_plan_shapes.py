@@ -92,3 +92,31 @@ def test_pagerank_superstep_plan(spark):
     )
     plan = _plan(g)
     assert plan.count("HashAggregate") >= 3  # partial+final × two stages
+
+
+def test_ann_and_embedding_dedup_are_bucketed(spark):
+    """The two formerly-quadratic plans: multi-probe LSH ANN and banded
+    embedding dedup must be hash equi-joins on bucket keys — never a
+    BroadcastNestedLoopJoin (per-query full corpus scan) or a
+    CartesianProduct (all-pairs)."""
+    from unarxive_spark.operators.dedup import embedding_dup_pairs
+    from unarxive_spark.operators.similarity import lsh_ann_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    ann_plan = _plan(lsh_ann_topk(emb, queries, n_planes=8, probe_hamming=2))
+    assert "BroadcastNestedLoopJoin" not in ann_plan
+    assert "CartesianProduct" not in ann_plan
+
+    dup_plan = _plan(embedding_dup_pairs(emb))
+    assert "BroadcastNestedLoopJoin" not in dup_plan
+    assert "CartesianProduct" not in dup_plan
+    # the escape-hatch brute force is still quadratic, by design
+    exact_plan = _plan(embedding_dup_pairs(emb, exact=True))
+    assert (
+        "BroadcastNestedLoopJoin" in exact_plan
+        or "CartesianProduct" in exact_plan
+    )

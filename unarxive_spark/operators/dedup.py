@@ -246,6 +246,13 @@ def simhash_dup_pairs(
 # ---------- n-gram Jaccard ----------
 
 
+# Relative slack on the length-filter comparison: the real-arithmetic
+# bound min(|A|,|B|) >= t*max(|A|,|B|) is implied by J >= t; the slack
+# absorbs double-rounding of t*n so boundary pairs (J exactly t) are
+# never dropped. False positives are fine — verification is exact.
+_LEN_EPS = 1e-9
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -253,52 +260,97 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     prefix_filter: bool = False,
+    length_filter: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over word k-shingles for pairs sharing ≥1 shingle.
 
     Shuffle shape: explode distinct shingles → self-join on shingle
     (inverted index), count shared per pair, |A∪B| = |A|+|B|-shared.
     Quadratic only within identical-shingle posting lists — the standard
-    inverted-index verification join.
+    inverted-index verification join. Both filters below are LOSSLESS
+    (results identical to the plain path, asserted in tests):
 
-    ``prefix_filter=True`` enables PPJoin-style prefix filtering (exact,
-    loss-free): under a global shingle order (h64), two sets with
-    J ≥ t must collide within each other's first ``|d| - ⌈t·|d|⌉ + 1``
-    shingles, so only those prefixes enter the candidate join — posting
-    lists shrink by ~t, the quadratic term by ~t². Verification still
-    counts shared shingles over the FULL sets, so results are identical
-    to the unfiltered path (asserted lossless in tests).
+    ``length_filter`` (default on): J(A,B) ≥ t implies
+    ``t·|B| ≤ |A| and t·|A| ≤ |B|`` (since J ≤ min/max), folded into the
+    candidate-join condition — wildly mismatched sizes never pair, which
+    prunes exactly the hub-document fan-out a low threshold admits.
 
-    Crossover: at small corpora (≤10⁴ docs) the extra rank window +
-    verification join cost more than the quadratic term saves — keep the
-    default off below that; at web scale with high thresholds the
-    candidate join is the bottleneck and the filter is the standard fix.
+    ``prefix_filter=True`` adds PPJoin prefix filtering: under a global
+    shingle order, two sets with J ≥ t must collide within each other's
+    first ``|d| - ⌈t·|d|⌉ + 1`` shingles. The order here is **ascending
+    document frequency** (ties by shingle) — the canonical PPJoin choice:
+    a stop-shingle with a mega posting list sorts LAST, so it is dropped
+    from almost every prefix and its quadratic posting-list self-join
+    disappears from candidate generation entirely. Verification still
+    counts shared shingles over the FULL sets.
+
+    Crossover: at small corpora (≤10⁴ docs) the extra df-join + rank
+    window + verification join can cost more than the quadratic term
+    saves; at web scale the candidate join dominates and both filters
+    are the standard fix.
+
+    Posting lists join on the 60-bit portable shingle hash, not the
+    shingle string — an 8-byte fixed-width join key instead of a ~20-byte
+    UTF8 one (same shuffle count, much cheaper compare/serialize; h64
+    collisions at 2^60 are ~|vocab|²/2^61, negligible and deterministic).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(text_col, k=k)).alias("shingle"),
-    ).distinct()
+    # The explode inflates ~|shingles/doc|×: if the input arrived in fewer
+    # partitions than cores (single small parquet file), the whole
+    # map side would run on those few cores — widen it first.
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n_part:
+        df = df.repartition(n_part)
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(text_col, k=k)).alias("_s"),
+        )
+        .select("id", h64(F.col("_s")).alias("shingle"))
+        .distinct()
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    def _join_cond():
+        cond = (F.col("l.shingle") == F.col("r.shingle")) & (
+            F.col("l.id") < F.col("r.id")
+        )
+        if length_filter:
+            cond = (
+                cond
+                & (
+                    F.col("l.n_sh") * F.lit(1.0 + _LEN_EPS)
+                    >= F.lit(threshold) * F.col("r.n_sh")
+                )
+                & (
+                    F.col("r.n_sh") * F.lit(1.0 + _LEN_EPS)
+                    >= F.lit(threshold) * F.col("l.n_sh")
+                )
+            )
+        return cond
+
     if prefix_filter:
-        ranked = sh.withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy("id").orderBy(h64(F.col("shingle")))
-            ),
-        ).join(sizes, "id")
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        ranked = (
+            sh.join(dfreq, "shingle")
+            .withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy(
+                        F.asc("_df"), F.asc("shingle")
+                    )
+                ),
+            )
+            .join(sizes, "id")
+        )
         prefix_len = (
             F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
         )
         prefix = ranked.filter(F.col("_rk") <= prefix_len).select(
-            "id", "shingle"
+            "id", "shingle", "n_sh"
         )
         cands = (
             prefix.alias("l")
-            .join(
-                prefix.alias("r"),
-                (F.col("l.shingle") == F.col("r.shingle"))
-                & (F.col("l.id") < F.col("r.id")),
-            )
+            .join(prefix.alias("r"), _join_cond())
             .select(
                 F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
             )
@@ -318,13 +370,10 @@ def ngram_jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("n_shared"))
         )
     else:
+        shs = sh.join(sizes, "id")
         shared = (
-            sh.alias("l")
-            .join(
-                sh.alias("r"),
-                (F.col("l.shingle") == F.col("r.shingle"))
-                & (F.col("l.id") < F.col("r.id")),
-            )
+            shs.alias("l")
+            .join(shs.alias("r"), _join_cond())
             .groupBy(
                 F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
             )
@@ -353,14 +402,28 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_buckets_hint: int | None = None,
+    n_bands: int = 8,
+    planes_per_band: int = 4,
+    dim: int = 64,
+    exact: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by cosine similarity ≥ threshold.
 
-    Brute-force within-join; for scale, pre-bucket by a random-hyperplane
-    sign sketch (see similarity.lsh_ann) — this variant is the exact
-    verifier used in tests and at moderate |candidates|.
+    Default path is **banded hyperplane LSH**: each vector is sketched
+    into ``n_bands`` independent sign-sketch buckets (``planes_per_band``
+    hyperplanes each, per-band seeds); candidates are pairs sharing ANY
+    band bucket — an **equi-join on (band, bucket)**, never all-pairs —
+    then verified with the exact columnar cosine. Candidate-generation
+    recall for a pair at cosine c is ``1-(1-p^r)^b`` with
+    ``p = 1 - arccos(c)/π``; at the defaults and c=0.95 that is ~0.9998
+    (and exactly 1 for identical vectors, which share every band).
+
+    ``exact=True`` is the brute-force all-pairs verifier — O(n²), kept
+    ONLY as the small-N test oracle; the default plan must never produce
+    a CartesianProduct (asserted in tests/test_plan_shapes.py).
     """
+    from unarxive_spark.operators.similarity import hyperplane_sketch
+
     norm = F.sqrt(
         F.aggregate(
             vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
@@ -371,9 +434,50 @@ def embedding_dup_pairs(
         F.col(vec_col).alias("vec"),
         norm.alias("norm"),
     ).filter(F.col("norm") > 0)
-    pairs = v.alias("l").join(
-        v.alias("r"), F.col("l.id") < F.col("r.id")
-    )
+
+    if exact:
+        pairs = v.alias("l").join(
+            v.alias("r"), F.col("l.id") < F.col("r.id")
+        )
+    else:
+        banded = v.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            hyperplane_sketch(
+                                F.col("vec"),
+                                planes_per_band,
+                                dim,
+                                seed=1000 + b,
+                            ).alias("bucket"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        cand_ids = (
+            banded.alias("lb")
+            .join(
+                banded.alias("rb"),
+                (F.col("lb.band") == F.col("rb.band"))
+                & (F.col("lb.bucket") == F.col("rb.bucket"))
+                & (F.col("lb.id") < F.col("rb.id")),
+            )
+            .select(
+                F.col("lb.id").alias("cid_a"), F.col("rb.id").alias("cid_b")
+            )
+            .dropDuplicates(["cid_a", "cid_b"])
+        )
+        pairs = (
+            cand_ids.join(
+                v.alias("l"), F.col("cid_a") == F.col("l.id")
+            ).join(v.alias("r"), F.col("cid_b") == F.col("r.id"))
+        )
+
     dot = F.aggregate(
         F.zip_with(
             F.col("l.vec"),

@@ -15,7 +15,7 @@ and cluster-stable (no global shuffle of 10^12 rows just to split them).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from unarxive_spark.functions.hashing import h64
@@ -97,6 +97,43 @@ def stratified_split(
         .when(bucket < t2, F.lit("dev"))
         .otherwise(F.lit("test")),
     )
+
+
+def stratified_split_minima(
+    samples: DataFrame,
+    strata_cols: tuple[str, ...] = ("label",),
+    train: float = 0.8,
+    dev: float = 0.1,
+    seed: int = 42,
+    id_col: str = "_id",
+) -> DataFrame:
+    """Proportional-minima stratified split — the reference's exact
+    allocation semantics (ml_tasks_split_data.py:155-171): each stratum
+    (any combination of ``strata_cols``, e.g. (month, category, label))
+    contributes EXACTLY ``ceil(N·dev)`` rows to dev and ``ceil(N·test)``
+    to test (so every stratum, however rare, is represented in the held
+    out splits), remainder to train.
+
+    The reference's ``random.seed(42); shuffle`` becomes a row_number
+    over the portable content hash within each stratum — deterministic,
+    order- and partitioning-independent, no global shuffle beyond the
+    one the window needs.
+    """
+    test = 1.0 - train - dev
+    order_key = h64(F.concat_ws("|", F.lit(str(seed)), F.col(id_col)))
+    w = Window.partitionBy(*strata_cols).orderBy(order_key, F.col(id_col))
+    cnt_w = Window.partitionBy(*strata_cols)
+    ranked = samples.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(cnt_w)
+    )
+    n_dev = F.ceil(F.col("_n") * F.lit(dev))
+    n_test = F.ceil(F.col("_n") * F.lit(test))
+    return ranked.withColumn(
+        "split",
+        F.when(F.col("_rk") <= n_dev, F.lit("dev"))
+        .when(F.col("_rk") <= n_dev + n_test, F.lit("test"))
+        .otherwise(F.lit("train")),
+    ).drop("_rk", "_n")
 
 
 def split_distribution(split_df: DataFrame) -> DataFrame:

@@ -71,10 +71,12 @@ def pagerank(
     vertices: DataFrame | None = None,
     initial_ranks: DataFrame | None = None,
     personalization: list[str] | None = None,
+    superstep_aqe: bool = True,
 ) -> PageRankResult:
     """Run PageRank to convergence. ``checkpoint_dir`` enables resumable
     per-iteration commits; a rerun with the same dir continues from the
-    last committed superstep.
+    last committed superstep (state format is per-version: resume from a
+    checkpoint written by an older build is not supported).
 
     ``initial_ranks`` (conv_id, rank) warm-starts the iteration — the
     incremental-recompute path (SURVEY.md §2.9: new data = re-run over
@@ -87,13 +89,35 @@ def pagerank(
     over the set) — personalized PageRank ("conversations related to
     these"). Dangling mass teleports to the same set. None = classic
     uniform teleport.
+
+    ``superstep_aqe=False`` disables adaptive execution INSIDE the
+    superstep loop only (restored after): each superstep's plan is
+    identical across iterations, so AQE's per-stage re-planning barrier
+    is pure overhead here — at sandbox scale it is a measurable part of
+    the ~2 s/superstep serial floor. Keep the default (on) when edge
+    skew is unknown; the explicit salting already bounds the gather.
+
+    The dangling-mass term costs NO extra join per superstep: the rank
+    state carries a ``has_out`` flag (computed once from the edge table),
+    so the mass is a filter + 1-row aggregate over the state itself,
+    broadcast back into the plan.
     """
     spark = edges.sparkSession
     ckpt = CheckpointManager(spark, checkpoint_dir)
 
     if vertices is None:
         vertices = _vertices(edges)
-    vertices = vertices.repartition("conv_id").cache()
+    # vertex table with the dangling flag, co-partitioned with the
+    # gather output and cached ONCE for the whole run
+    src_ids = edges.select(F.col("src_conv_id").alias("conv_id")).distinct()
+    vertices = (
+        vertices.join(src_ids.withColumn("_ho", F.lit(1)), "conv_id", "left")
+        .select(
+            "conv_id", F.coalesce("_ho", F.lit(0)).alias("has_out")
+        )
+        .repartition("conv_id")
+        .cache()
+    )
     n = vertices.count()
     if n == 0:
         empty = spark.createDataFrame([], RANK_SCHEMA)
@@ -113,14 +137,7 @@ def pagerank(
         .cache()
     )
     edges_norm.count()  # materialize the co-partitioned layout once
-
-    # dangling = vertices with no out-edges (their mass teleports)
-    dangling = vertices.join(
-        edges.select(F.col("src_conv_id").alias("conv_id")).distinct(),
-        "conv_id",
-        "left_anti",
-    ).cache()
-    n_dangling = dangling.count()
+    n_dangling = n - src_ids.count()
 
     start_iter = 0
     resumed = ckpt.last_committed()
@@ -135,86 +152,110 @@ def pagerank(
         ).select(
             "conv_id",
             F.coalesce("_r0", F.lit(1.0 / n)).alias("rank"),
+            "has_out",
         )
         total = seeded.agg(F.sum("rank")).collect()[0][0] or 1.0
         ranks = seeded.select(
-            "conv_id", (F.col("rank") / F.lit(float(total))).alias("rank")
+            "conv_id",
+            (F.col("rank") / F.lit(float(total))).alias("rank"),
+            "has_out",
         ).localCheckpoint(eager=True)
     else:
         ranks = vertices.select(
-            "conv_id", F.lit(1.0 / n).alias("rank")
+            "conv_id", F.lit(1.0 / n).alias("rank"), "has_out"
         )
 
     deltas: list[float] = []
     superstep_secs: list[float] = []
     converged = False
     it = start_iter
-    for it in range(start_iter, max_iter):
-        t_iter = time.monotonic()
-        contribs = edges_norm.join(
-            ranks.withColumnRenamed("conv_id", "src"), "src"
-        ).select("src", "dst", (F.col("p") * F.col("rank")).alias("c"))
-        gathered = salted_sum(
-            contribs, key="dst", value=F.sum("c"), out="g",
-            salt_from="src", n_salts=n_salts,
-        )
-        # Dangling mass enters the plan as a broadcast 1-row aggregate —
-        # NO per-iteration driver round-trip for it (the reduction runs
-        # as a stage inside the same superstep job).
-        if n_dangling:
-            dmass_df = (
-                ranks.join(dangling, "conv_id", "left_semi")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+    aqe_key = "spark.sql.adaptive.enabled"
+    aqe_before = spark.conf.get(aqe_key)
+    if not superstep_aqe:
+        spark.conf.set(aqe_key, "false")
+    try:
+        for it in range(start_iter, max_iter):
+            t_iter = time.monotonic()
+            contribs = edges_norm.join(
+                ranks.select(
+                    F.col("conv_id").alias("src"), "rank"
+                ),
+                "src",
+            ).select("src", "dst", (F.col("p") * F.col("rank")).alias("c"))
+            gathered = salted_sum(
+                contribs, key="dst", value=F.sum("c"), out="g",
+                salt_from="src", n_salts=n_salts,
             )
-        else:
-            dmass_df = spark.range(1).select(F.lit(0.0).alias("_dm"))
-        if personalization:
-            # teleport vector p(v): 1/|S| on the source set, else 0
-            p_v = F.when(
-                F.col("conv_id").isin(*personalization),
-                F.lit(1.0 / len(personalization)),
-            ).otherwise(F.lit(0.0))
-        else:
-            p_v = F.lit(1.0 / n)
-        new_ranks = (
-            vertices.join(
-                gathered.withColumnRenamed("dst", "conv_id"), "conv_id", "left"
-            )
-            .crossJoin(F.broadcast(dmass_df))
-            .select(
-                "conv_id",
-                (
-                    p_v
-                    * (
-                        F.lit(1.0 - damping)
-                        + F.lit(damping) * F.col("_dm")
-                    )
-                    + F.lit(damping) * F.coalesce(F.col("g"), F.lit(0.0))
-                ).alias("rank"),
-            )
-        )
-        # Materialize the superstep exactly once (plan truncation +
-        # resumable state). Fixed-iteration mode (tol < 0) needs NOTHING
-        # else — zero scalar actions per superstep; convergence mode adds
-        # one delta aggregation over the cheap re-scan.
-        new_ranks_m = ckpt.write_state(it, new_ranks)
-        if tol >= 0:
-            delta = float(
-                new_ranks_m.alias("nr")
-                .join(ranks.alias("o"), "conv_id")
-                .agg(
-                    F.max(F.abs(F.col("nr.rank") - F.col("o.rank")))
+            # Dangling mass: filter + 1-row aggregate over the CURRENT
+            # state (the has_out flag rides in the state rows — no join),
+            # broadcast back into the plan. NO per-iteration driver
+            # round-trip.
+            if n_dangling:
+                dmass_df = ranks.filter(F.col("has_out") == 0).agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
                 )
-                .collect()[0][0]
+            else:
+                dmass_df = spark.range(1).select(F.lit(0.0).alias("_dm"))
+            if personalization:
+                # teleport vector p(v): 1/|S| on the source set, else 0
+                p_v = F.when(
+                    F.col("conv_id").isin(*personalization),
+                    F.lit(1.0 / len(personalization)),
+                ).otherwise(F.lit(0.0))
+            else:
+                p_v = F.lit(1.0 / n)
+            new_ranks = (
+                vertices.join(
+                    gathered.withColumnRenamed("dst", "conv_id"),
+                    "conv_id",
+                    "left",
+                )
+                .crossJoin(F.broadcast(dmass_df))
+                .select(
+                    "conv_id",
+                    (
+                        p_v
+                        * (
+                            F.lit(1.0 - damping)
+                            + F.lit(damping) * F.col("_dm")
+                        )
+                        + F.lit(damping) * F.coalesce(F.col("g"), F.lit(0.0))
+                    ).alias("rank"),
+                    "has_out",
+                )
             )
-        else:
-            delta = float("inf")
-        deltas.append(delta)
-        ckpt.log_lineage(it, new_ranks_m, "max_abs_delta", delta)
-        ranks = new_ranks_m
-        superstep_secs.append(time.monotonic() - t_iter)
-        if delta < tol:
-            converged = True
-            break
+            # Materialize the superstep exactly once (plan truncation +
+            # resumable state). Fixed-iteration mode (tol < 0) needs
+            # NOTHING else — zero scalar actions per superstep;
+            # convergence mode adds one delta aggregation over the cheap
+            # re-scan.
+            new_ranks_m = ckpt.write_state(it, new_ranks)
+            if tol >= 0:
+                delta = float(
+                    new_ranks_m.alias("nr")
+                    .join(ranks.alias("o"), "conv_id")
+                    .agg(
+                        F.max(F.abs(F.col("nr.rank") - F.col("o.rank")))
+                    )
+                    .collect()[0][0]
+                )
+            else:
+                delta = float("inf")
+            deltas.append(delta)
+            ckpt.log_lineage(it, new_ranks_m, "max_abs_delta", delta)
+            ranks = new_ranks_m
+            superstep_secs.append(time.monotonic() - t_iter)
+            if delta < tol:
+                converged = True
+                break
+    finally:
+        if not superstep_aqe:
+            spark.conf.set(aqe_key, aqe_before)
 
-    return PageRankResult(ranks, it + 1, converged, deltas, superstep_secs)
+    return PageRankResult(
+        ranks.select("conv_id", "rank"),
+        it + 1,
+        converged,
+        deltas,
+        superstep_secs,
+    )

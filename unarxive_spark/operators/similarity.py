@@ -251,6 +251,22 @@ def ivf_ann_topk(
     )
 
 
+def _probe_masks(n_planes: int, radius: int) -> list[int]:
+    """All XOR masks with popcount ≤ radius: Σ_{i≤r} C(n_planes, i) keys.
+    Applying each mask to a query's bucket enumerates exactly the buckets
+    within hamming distance ``radius`` — the multi-probe key set."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for combo in combinations(range(n_planes), r):
+            m = 0
+            for b in combo:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -263,13 +279,17 @@ def lsh_ann_topk(
     query_vec_col: str = "query_vec",
     probe_hamming: int = 2,
 ) -> DataFrame:
-    """Approximate top-k: candidates share an LSH bucket within
-    ``probe_hamming`` bits of the query's bucket (multi-probe via
-    bit_count on the join condition), exact cosine re-rank inside.
+    """Approximate top-k via multi-probe hyperplane LSH: each query is
+    EXPLODED into its ≤ Σ C(n_planes, i) probe-bucket keys (all buckets
+    within ``probe_hamming`` bits), then **equi-joined** on ``bucket``
+    with the sketched corpus, exact cosine re-rank inside. The candidate
+    set is identical to the hamming-ball predicate, but the plan is a
+    hash join on the bucket key — not a BroadcastNestedLoopJoin scanning
+    every corpus row per query (asserted in tests/test_plan_shapes.py).
 
     At 100 TB the corpus-side sketch is computed once and written
-    bucketed by ``bucket``; queries touch only matching buckets —
-    partition pruning instead of a full scan.
+    partitioned/bucketed by ``bucket``; the equi-join keys then prune to
+    only the probed buckets instead of a full scan.
     """
     c = emb.select(
         F.col(id_col).alias("id"),
@@ -277,7 +297,8 @@ def lsh_ann_topk(
         _norm(F.col(vec_col)).alias("norm"),
         hyperplane_sketch(F.col(vec_col), n_planes, dim).alias("bucket"),
     ).filter(F.col("norm") > 0)
-    q = F.broadcast(
+    masks = _probe_masks(n_planes, probe_hamming)
+    probes = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(query_vec_col).alias("qv"),
@@ -285,13 +306,22 @@ def lsh_ann_topk(
             hyperplane_sketch(F.col(query_vec_col), n_planes, dim).alias(
                 "qbucket"
             ),
+        ).select(
+            "query_id",
+            "qv",
+            "qnorm",
+            "qbucket",
+            F.explode(
+                F.array(*[F.lit(m).cast("long") for m in masks])
+            ).alias("_mask"),
+        ).select(
+            "query_id",
+            "qv",
+            "qnorm",
+            F.col("qbucket").bitwiseXOR(F.col("_mask")).alias("bucket"),
         )
     )
-    cands = c.join(
-        q,
-        F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket")))
-        <= probe_hamming,
-    )
+    cands = c.join(probes, "bucket")
     scored = cands.select(
         "query_id",
         "id",

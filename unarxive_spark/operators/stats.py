@@ -15,6 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from unarxive_spark.functions.license import (
+    PERMISSIVE,
+    derive_license_url,
+    license_coarse,
+)
 from unarxive_spark.functions.refs import extract_ref_ids
 
 # Synthetic 2-level taxonomy: conv → category → group, derived
@@ -54,6 +59,10 @@ def build_vertices(transcripts: DataFrame) -> DataFrame:
         F.size(refs).alias("n_refs_turn"),
         F.filter(refs, lambda r: r != F.col("conv_id")).alias("ref_ids"),
         F.when(F.col("role") == "tool", 1).otherwise(0).alias("is_tool"),
+        F.when(F.col("role") == "user", 1).otherwise(0).alias("is_user"),
+        F.when(F.col("role") == "assistant", 1)
+        .otherwise(0)
+        .alias("is_assistant"),
         F.length("text").alias("n_chars_turn"),
     )
     vertex_ids = transcripts.select(F.col("conv_id").alias("ref_id")).distinct()
@@ -80,8 +89,11 @@ def build_vertices(transcripts: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_turns"),
         F.sum("n_refs_turn").alias("n_refs"),
         F.sum("is_tool").alias("n_tool_turns"),
+        F.sum("is_user").alias("n_user_turns"),
+        F.sum("is_assistant").alias("n_assistant_turns"),
         F.sum("n_chars_turn").alias("n_chars"),
         F.date_format(F.min("ts"), "yyyy-MM").alias("month"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("day"),
     )
     cat = category_expr("conv_id")
     return (
@@ -92,10 +104,16 @@ def build_vertices(transcripts: DataFrame) -> DataFrame:
             "n_refs",
             F.coalesce("n_refs_linked", F.lit(0)).alias("n_refs_linked"),
             "n_tool_turns",
+            "n_user_turns",
+            "n_assistant_turns",
             "n_chars",
             cat.alias("category"),
             group_of_category(cat).alias("group"),
             "month",
+            "day",
+            license_coarse(derive_license_url("conv_id")).alias(
+                "license_coarse"
+            ),
         )
     )
 
@@ -111,6 +129,155 @@ def category_month_cube(vertices: DataFrame) -> DataFrame:
             F.sum("n_refs_linked").alias("n_refs_linked"),
             F.sum("n_tool_turns").alias("n_tool_turns"),
             F.sum("n_chars").alias("n_chars"),
+        )
+    )
+
+
+def category_month_cube_full(vertices: DataFrame) -> DataFrame:
+    """The FULL (category × month) metrics cube — 23 metrics per cell,
+    matching the reference's accumulation breadth (calc_stats.py:487-599:
+    ~23 per-paper metrics incl. license buckets and success-vs-NO_*
+    rates). One shuffle; every metric is a conditional sum/max inside the
+    same partial-aggregated groupBy (Catalyst fuses them — adding metrics
+    widens rows, not stages)."""
+    zero_guard = lambda num, den: F.when(  # noqa: E731
+        den == 0, F.lit(0.0)
+    ).otherwise(num / den)
+    refs = F.col("n_refs")
+    linked = F.col("n_refs_linked")
+    return (
+        vertices.groupBy("category", "month")
+        .agg(
+            # volume
+            F.count(F.lit(1)).alias("n_convs"),
+            F.sum("n_turns").alias("n_turns"),
+            F.sum("n_user_turns").alias("n_user_turns"),
+            F.sum("n_assistant_turns").alias("n_assistant_turns"),
+            F.sum("n_tool_turns").alias("n_tool_turns"),
+            F.sum("n_chars").alias("n_chars"),
+            # reference mining / linking
+            F.sum("n_refs").alias("n_refs"),
+            F.sum("n_refs_linked").alias("n_refs_linked"),
+            F.sum(refs - linked).alias("n_refs_unlinked"),
+            # success-vs-NO_* conversation buckets (calc_stats NO_CIT /
+            # success-rate analogs)
+            F.sum(F.when(refs > 0, 1).otherwise(0)).alias(
+                "n_convs_with_refs"
+            ),
+            F.sum(F.when(refs == 0, 1).otherwise(0)).alias(
+                "n_convs_no_refs"
+            ),
+            F.sum(
+                F.when((refs > 0) & (linked == refs), 1).otherwise(0)
+            ).alias("n_convs_fully_linked"),
+            F.sum(
+                F.when((refs > 0) & (linked == 0), 1).otherwise(0)
+            ).alias("n_convs_none_linked"),
+            # extrema
+            F.max("n_turns").alias("max_turns"),
+            F.max("n_refs").alias("max_refs"),
+            # license buckets (calc_stats license matrices analog)
+            F.sum(
+                F.when(F.col("license_coarse").isin(*PERMISSIVE), 1)
+                .otherwise(0)
+            ).alias("n_lic_permissive"),
+            F.sum(
+                F.when(
+                    F.col("license_coarse").startswith("cc-by-nc"), 1
+                ).otherwise(0)
+            ).alias("n_lic_nc"),
+            F.sum(
+                F.when(F.col("license_coarse") == "none", 1).otherwise(0)
+            ).alias("n_lic_none"),
+            F.sum(
+                F.when(
+                    F.col("license_coarse") == "arxiv-nonexclusive", 1
+                ).otherwise(0)
+            ).alias("n_lic_arxiv"),
+            # ratios (ratio-of-sums, zero-guarded, rounded for the
+            # cross-engine hash)
+            F.round(F.avg("n_turns"), 6).alias("avg_turns_per_conv"),
+            F.round(
+                zero_guard(F.sum("n_chars"), F.sum("n_turns")), 6
+            ).alias("avg_chars_per_turn"),
+            F.round(
+                zero_guard(F.sum("n_refs_linked"), F.sum("n_refs")), 6
+            ).alias("link_rate"),
+            F.round(
+                zero_guard(F.sum("n_tool_turns"), F.sum("n_turns")), 6
+            ).alias("tool_rate"),
+        )
+    )
+
+
+def link_rate_by_day(vertices: DataFrame) -> DataFrame:
+    """Per-group-over-time ratio series — the
+    ``get_cats_over_years_plot_data`` analog (calc_stats.py:361-403:
+    part/total per (discipline, year); the synthetic corpus spans one
+    month, so the time axis is days)."""
+    return (
+        vertices.groupBy("group", "day")
+        .agg(
+            F.sum("n_refs").alias("n_refs"),
+            F.sum("n_refs_linked").alias("n_refs_linked"),
+        )
+        .select(
+            "group",
+            "day",
+            "n_refs",
+            "n_refs_linked",
+            F.round(
+                F.when(F.col("n_refs") == 0, F.lit(0.0)).otherwise(
+                    F.col("n_refs_linked") / F.col("n_refs")
+                ),
+                6,
+            ).alias("link_rate"),
+        )
+    )
+
+
+# 3-level taxonomy: category → archive → tax_group, mirroring the
+# reference's category→archive→group walk (arxiv_taxonomy.py:10-51 +
+# extend_matched.py:19-36). Containment by integer division: 12
+# categories → 6 archives → 3 groups.
+N_ARCHIVES = 6
+N_TAX_GROUPS = 3
+
+
+def taxonomy_rows() -> list[tuple[str, str, str]]:
+    return [
+        (f"cat{c:02d}", f"arch{c // 2}", f"tgrp{c // 4}")
+        for c in range(N_CATEGORIES)
+    ]
+
+
+def taxonomy_dim(spark) -> DataFrame:
+    """The taxonomy as a literal dimension table — the reference's
+    in-memory taxonomy dict becomes a broadcastable dim the walk JOINs
+    against (Spark-first: no driver-side dict lookups per row)."""
+    return spark.createDataFrame(
+        taxonomy_rows(), "category string, archive string, tax_group string"
+    )
+
+
+def taxonomy_rollup(vertices: DataFrame) -> DataFrame:
+    """3-level taxonomy walk + rollup (J6 full shape): vertex →
+    category → archive → tax_group via broadcast dim join, then ROLLUP
+    grouping sets over all three levels."""
+    dim = F.broadcast(taxonomy_dim(vertices.sparkSession))
+    return (
+        vertices.join(dim, "category")
+        .rollup("tax_group", "archive", "category")
+        .agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.sum("n_refs").alias("n_refs"),
+        )
+        .select(
+            F.coalesce("tax_group", F.lit("ALL")).alias("tax_group"),
+            F.coalesce("archive", F.lit("ALL")).alias("archive"),
+            F.coalesce("category", F.lit("ALL")).alias("category"),
+            "n_convs",
+            "n_refs",
         )
     )
 

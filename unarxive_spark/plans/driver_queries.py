@@ -267,12 +267,21 @@ JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b"""
 # Reporting-layer queries (calc_stats analogs) on the derived vertices
 # ---------------------------------------------------------------------
 
+from unarxive_spark.functions.license import (  # noqa: E402
+    derive_license_url_sql,
+    license_coarse_sql,
+)
+
+_LIC_SQL = license_coarse_sql(derive_license_url_sql("b.conv_id"))
+
 VERTS_CTE = f"""{GRAPH_PREFIX},
 pturn AS (
   SELECT conv_id, ts,
          len(regexp_extract_all(text || ' ' || tool,
                                 'conv:([A-Za-z0-9_-]+)', 1)) AS n_refs_turn,
          CASE WHEN role = 'tool' THEN 1 ELSE 0 END AS is_tool,
+         CASE WHEN role = 'user' THEN 1 ELSE 0 END AS is_user,
+         CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS is_assistant,
          length(text) AS n_chars_turn
   FROM transcripts
 ),
@@ -280,8 +289,11 @@ vbase AS (
   SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
          CAST(sum(n_refs_turn) AS BIGINT) AS n_refs,
          CAST(sum(is_tool) AS BIGINT) AS n_tool_turns,
+         CAST(sum(is_user) AS BIGINT) AS n_user_turns,
+         CAST(sum(is_assistant) AS BIGINT) AS n_assistant_turns,
          CAST(sum(n_chars_turn) AS BIGINT) AS n_chars,
-         strftime(min(ts), '%Y-%m') AS month
+         strftime(min(ts), '%Y-%m') AS month,
+         strftime(min(ts), '%Y-%m-%d') AS day
   FROM pturn GROUP BY 1
 ),
 vlinked AS (
@@ -293,14 +305,15 @@ vlinked AS (
 vattrs AS (
   SELECT b.conv_id, b.n_turns, b.n_refs,
          COALESCE(l.n_refs_linked, 0) AS n_refs_linked,
-         b.n_tool_turns, b.n_chars,
+         b.n_tool_turns, b.n_user_turns, b.n_assistant_turns, b.n_chars,
          printf('cat%02d', CAST(
            CAST(('0x' || substr(md5(b.conv_id), 1, 15)) AS BIGINT) % 12
          AS INT)) AS category,
          printf('grp%d', CAST(
            CAST(('0x' || substr(md5(b.conv_id), 1, 15)) AS BIGINT) % 12
          AS INT) % 4) AS grp,
-         b.month
+         b.month, b.day,
+         ({_LIC_SQL}) AS license_coarse
   FROM vbase b LEFT JOIN vlinked l USING (conv_id)
 )"""
 
@@ -314,8 +327,19 @@ def _vertices(spark, sf_dir):
 
 
 def q_vertices(spark, sf_dir):
-    """A1 analog: per-conversation stats table."""
-    return _vertices(spark, sf_dir)
+    """A1 analog: per-conversation stats table (original 9-column
+    surface; the extended attrs feed q37/q38/q39)."""
+    return _vertices(spark, sf_dir).select(
+        "conv_id",
+        "n_turns",
+        "n_refs",
+        "n_refs_linked",
+        "n_tool_turns",
+        "n_chars",
+        "category",
+        "grp",
+        "month",
+    )
 
 
 SQL_VERTICES = f"""{VERTS_CTE}
@@ -583,15 +607,29 @@ walk AS (
 SELECT conv_id, min(distance) AS distance FROM walk GROUP BY 1"""
 
 
+# Hub cap for the second-order measures: the self-join fans out
+# quadratically in the shared endpoint's degree, so mega-hubs are dropped
+# (standard practice — they carry no similarity signal). 60 BINDS at
+# sf0.01 (out-degree max 65, median 44), so the cap semantics themselves
+# are oracle-checked, not just the uncapped join.
+COCITE_MAX_DEGREE = 60
+
+
 def q_co_citation(spark, sf_dir):
-    """Co-citation pairs (Small 1973): shared-citer counts >= 3."""
+    """Co-citation pairs (Small 1973): shared-citer counts >= 3, citers
+    capped at out-degree <= COCITE_MAX_DEGREE."""
     from unarxive_spark.operators.cocitation import co_citation
 
-    return co_citation(_edges(spark, sf_dir), min_count=3)
+    return co_citation(
+        _edges(spark, sf_dir), min_count=3, max_degree=COCITE_MAX_DEGREE
+    )
 
 
 SQL_CO_CITATION = f"""{GRAPH_PREFIX},
-e AS (SELECT DISTINCT src_conv_id, dst_conv_id FROM edges)
+e0 AS (SELECT DISTINCT src_conv_id, dst_conv_id FROM edges),
+e AS (SELECT * FROM e0 WHERE src_conv_id IN (
+        SELECT src_conv_id FROM e0
+        GROUP BY 1 HAVING count(*) <= {COCITE_MAX_DEGREE}))
 SELECT l.dst_conv_id AS a, r.dst_conv_id AS b,
        CAST(count(*) AS BIGINT) AS n_common_citers
 FROM e l JOIN e r
@@ -600,14 +638,20 @@ GROUP BY 1, 2 HAVING count(*) >= 3"""
 
 
 def q_biblio_coupling(spark, sf_dir):
-    """Bibliographic coupling (Kessler 1963): shared-cited counts >= 3."""
+    """Bibliographic coupling (Kessler 1963): shared-cited counts >= 3,
+    cited hubs capped at in-degree <= COCITE_MAX_DEGREE."""
     from unarxive_spark.operators.cocitation import bibliographic_coupling
 
-    return bibliographic_coupling(_edges(spark, sf_dir), min_count=3)
+    return bibliographic_coupling(
+        _edges(spark, sf_dir), min_count=3, max_degree=COCITE_MAX_DEGREE
+    )
 
 
 SQL_BIBLIO_COUPLING = f"""{GRAPH_PREFIX},
-e AS (SELECT DISTINCT src_conv_id, dst_conv_id FROM edges)
+e0 AS (SELECT DISTINCT src_conv_id, dst_conv_id FROM edges),
+e AS (SELECT * FROM e0 WHERE dst_conv_id IN (
+        SELECT dst_conv_id FROM e0
+        GROUP BY 1 HAVING count(*) <= {COCITE_MAX_DEGREE}))
 SELECT l.src_conv_id AS a, r.src_conv_id AS b,
        CAST(count(*) AS BIGINT) AS n_common_cited
 FROM e l JOIN e r
@@ -657,6 +701,106 @@ SELECT e.src_conv_id, e.dst_conv_id, e.weight,
 FROM edges e LEFT JOIN vattrs v ON v.conv_id = e.dst_conv_id"""
 
 
+def q_cat_month_cube_full(spark, sf_dir):
+    """A2 FULL analog: 23-metric (category × month) cube
+    (calc_stats.py:487-599 breadth: volume, linking, success-vs-NO_*,
+    extrema, license buckets, ratio-of-sums)."""
+    from unarxive_spark.operators.stats import category_month_cube_full
+
+    return category_month_cube_full(_vertices(spark, sf_dir))
+
+
+SQL_CAT_MONTH_CUBE_FULL = f"""{VERTS_CTE}
+SELECT category, month,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(sum(n_turns) AS BIGINT) AS n_turns,
+       CAST(sum(n_user_turns) AS BIGINT) AS n_user_turns,
+       CAST(sum(n_assistant_turns) AS BIGINT) AS n_assistant_turns,
+       CAST(sum(n_tool_turns) AS BIGINT) AS n_tool_turns,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(n_refs) AS BIGINT) AS n_refs,
+       CAST(sum(n_refs_linked) AS BIGINT) AS n_refs_linked,
+       CAST(sum(n_refs - n_refs_linked) AS BIGINT) AS n_refs_unlinked,
+       CAST(sum(CASE WHEN n_refs > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_convs_with_refs,
+       CAST(sum(CASE WHEN n_refs = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_convs_no_refs,
+       CAST(sum(CASE WHEN n_refs > 0 AND n_refs_linked = n_refs
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_convs_fully_linked,
+       CAST(sum(CASE WHEN n_refs > 0 AND n_refs_linked = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_convs_none_linked,
+       CAST(max(n_turns) AS BIGINT) AS max_turns,
+       CAST(max(n_refs) AS BIGINT) AS max_refs,
+       CAST(sum(CASE WHEN license_coarse IN ('cc-by', 'cc-by-sa', 'cc0')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_lic_permissive,
+       CAST(sum(CASE WHEN license_coarse LIKE 'cc-by-nc%'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_lic_nc,
+       CAST(sum(CASE WHEN license_coarse = 'none'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_lic_none,
+       CAST(sum(CASE WHEN license_coarse = 'arxiv-nonexclusive'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_lic_arxiv,
+       round(avg(n_turns), 6) AS avg_turns_per_conv,
+       round(CASE WHEN sum(n_turns) = 0 THEN 0e0
+             ELSE CAST(sum(n_chars) AS DOUBLE) / sum(n_turns) END, 6)
+         AS avg_chars_per_turn,
+       round(CASE WHEN sum(n_refs) = 0 THEN 0e0
+             ELSE CAST(sum(n_refs_linked) AS DOUBLE) / sum(n_refs) END, 6)
+         AS link_rate,
+       round(CASE WHEN sum(n_turns) = 0 THEN 0e0
+             ELSE CAST(sum(n_tool_turns) AS DOUBLE) / sum(n_turns) END, 6)
+         AS tool_rate
+FROM vattrs GROUP BY 1, 2"""
+
+
+def q_link_rate_by_day(spark, sf_dir):
+    """get_cats_over_years_plot_data analog (calc_stats.py:361-403):
+    part/total ratio per (group, time-bucket) series."""
+    from unarxive_spark.operators.stats import link_rate_by_day
+
+    return link_rate_by_day(
+        _vertices(spark, sf_dir).withColumnRenamed("grp", "group")
+    ).withColumnRenamed("group", "grp")
+
+
+SQL_LINK_RATE_BY_DAY = f"""{VERTS_CTE}
+SELECT grp, day,
+       CAST(sum(n_refs) AS BIGINT) AS n_refs,
+       CAST(sum(n_refs_linked) AS BIGINT) AS n_refs_linked,
+       round(CASE WHEN sum(n_refs) = 0 THEN 0e0
+             ELSE CAST(sum(n_refs_linked) AS DOUBLE) / sum(n_refs) END, 6)
+         AS link_rate
+FROM vattrs GROUP BY 1, 2"""
+
+
+def q_taxonomy_rollup(spark, sf_dir):
+    """J6 full 3-level taxonomy walk: category → archive → tax_group via
+    broadcast dim join + ROLLUP over all three levels
+    (arxiv_taxonomy.py:10-51 + extend_matched.py:19-36)."""
+    from unarxive_spark.operators.stats import taxonomy_rollup
+
+    return taxonomy_rollup(_vertices(spark, sf_dir))
+
+
+def _sql_taxonomy_rollup() -> str:
+    from unarxive_spark.operators.stats import taxonomy_rows
+
+    values = ", ".join(
+        f"('{c}', '{a}', '{g}')" for c, a, g in taxonomy_rows()
+    )
+    return f"""{VERTS_CTE},
+tax AS (SELECT * FROM (VALUES {values}) AS t(category, archive, tax_group))
+SELECT COALESCE(tax_group, 'ALL') AS tax_group,
+       COALESCE(archive, 'ALL') AS archive,
+       COALESCE(category, 'ALL') AS category,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(sum(n_refs) AS BIGINT) AS n_refs
+FROM vattrs JOIN tax USING (category)
+GROUP BY ROLLUP (tax_group, archive, category)"""
+
+
+SQL_TAXONOMY_ROLLUP = _sql_taxonomy_rollup()
+
+
 GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_transcripts": q_transcripts,
     "q02_mine_refs": q_mine_refs,
@@ -679,6 +823,9 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_sssp": q_sssp,
     "q19a_co_citation": q_co_citation,
     "q19b_biblio_coupling": q_biblio_coupling,
+    "q37_cat_month_cube_full": q_cat_month_cube_full,
+    "q38_link_rate_by_day": q_link_rate_by_day,
+    "q39_taxonomy_rollup": q_taxonomy_rollup,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
@@ -703,4 +850,7 @@ GRAPH_ORACLES: dict[str, str] = {
     "q19_sssp": SQL_SSSP,
     "q19a_co_citation": SQL_CO_CITATION,
     "q19b_biblio_coupling": SQL_BIBLIO_COUPLING,
+    "q37_cat_month_cube_full": SQL_CAT_MONTH_CUBE_FULL,
+    "q38_link_rate_by_day": SQL_LINK_RATE_BY_DAY,
+    "q39_taxonomy_rollup": SQL_TAXONOMY_ROLLUP,
 }

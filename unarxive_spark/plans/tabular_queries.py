@@ -390,11 +390,16 @@ JACCARD_THRESHOLD = 0.2
 
 
 def q_jaccard_pairs(spark, sf_dir):
-    """Exact n-gram Jaccard near-dup pairs (inverted-index join)."""
+    """Exact n-gram Jaccard near-dup pairs (inverted-index join with the
+    lossless length filter — t·|A| ≤ |B| ≤ |A|/t folded into the
+    candidate join; identical results to the unfiltered join, which the
+    oracle SQL computes)."""
     from unarxive_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    p = ngram_jaccard_pairs(d, threshold=JACCARD_THRESHOLD)
+    p = ngram_jaccard_pairs(
+        d, threshold=JACCARD_THRESHOLD, length_filter=True
+    )
     return p.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -548,6 +553,56 @@ FROM (
 ) WHERE rn = 1"""
 
 
+def q_license_histogram(spark, sf_dir):
+    """License classifier histogram (P19/P20, calc_stats.py:56-87 +
+    count_licenses.py): derive the license URL deterministically per
+    document, classify coarse + fine via the URL-parsing when-chain,
+    count + permissive share per bucket."""
+    from unarxive_spark.functions.license import (
+        derive_license_url,
+        is_permissive,
+        license_coarse,
+        license_fine,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    url = derive_license_url("doc_id")
+    classified = d.select(
+        license_coarse(url).alias("license_coarse"),
+        license_fine(url).alias("license_fine"),
+        F.when(is_permissive(url), 1).otherwise(0).alias("_perm"),
+    )
+    return classified.groupBy("license_coarse", "license_fine").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_perm").alias("n_permissive"),
+    )
+
+
+def _sql_license_histogram() -> str:
+    from unarxive_spark.functions.license import (
+        derive_license_url_sql,
+        is_permissive_sql,
+        license_coarse_sql,
+        license_fine_sql,
+    )
+
+    url = derive_license_url_sql("doc_id")
+    return f"""
+WITH lic AS (
+  SELECT {license_coarse_sql(url)} AS license_coarse,
+         {license_fine_sql(url)} AS license_fine,
+         CASE WHEN {is_permissive_sql(url)} THEN 1 ELSE 0 END AS perm
+  FROM documents
+)
+SELECT license_coarse, license_fine,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(perm) AS BIGINT) AS n_permissive
+FROM lic GROUP BY 1, 2"""
+
+
+SQL_LICENSE_HISTOGRAM = _sql_license_histogram()
+
+
 TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_pricing_summary": q_pricing_summary,
     "q21_revenue_by_nation": q_revenue_by_nation,
@@ -565,6 +620,7 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_jaccard_pairs": q_jaccard_pairs,
     "q34_cosine_topk": q_cosine_topk,
     "q35_match_cascade": q_match_cascade,
+    "q36_license_histogram": q_license_histogram,
 }
 
 TABULAR_ORACLES: dict[str, str] = {
@@ -584,4 +640,5 @@ TABULAR_ORACLES: dict[str, str] = {
     "q33_jaccard_pairs": SQL_JACCARD_PAIRS,
     "q34_cosine_topk": SQL_COSINE_TOPK,
     "q35_match_cascade": SQL_MATCH_CASCADE,
+    "q36_license_histogram": SQL_LICENSE_HISTOGRAM,
 }
