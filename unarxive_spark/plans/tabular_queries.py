@@ -603,6 +603,68 @@ FROM lic GROUP BY 1, 2"""
 SQL_LICENSE_HISTOGRAM = _sql_license_histogram()
 
 
+def q_doi_resolution(spark, sf_dir):
+    """P14 DOI extraction + P15 implicit-DOI fallback: a third of the
+    docs get a deterministic explicit DOI mention spliced into their
+    text (with trailing punctuation, exercising the trim); extraction
+    runs the Crossref regex, misses fall back to the derived
+    journal-based DOI, and the result rolls up by registrant prefix."""
+    from unarxive_spark.functions.refs import extract_dois, implicit_doi
+
+    d = _t(spark, sf_dir, "documents")
+    doi_lit = F.concat(
+        F.lit(" see doi:10."),
+        (4000 + F.col("doc_id") % 100).cast("string"),
+        F.lit("/j."),
+        F.col("source"),
+        F.lit("."),
+        F.col("doc_id").cast("string"),
+        F.lit("."),  # trailing sentence punctuation — must be stripped
+    )
+    text2 = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.col("text"), doi_lit)
+    ).otherwise(F.col("text"))
+    explicit = F.try_element_at(extract_dois(text2), F.lit(1))
+    final = F.coalesce(explicit, implicit_doi("source", "doc_id"))
+    rows = d.select(
+        F.element_at(F.split(final, "/"), 1).alias("registrant"),
+        F.when(explicit.isNotNull(), 1).otherwise(0).alias("_exp"),
+    )
+    return rows.groupBy("registrant").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_exp").alias("n_explicit"),
+        F.sum(1 - F.col("_exp")).alias("n_derived"),
+    )
+
+
+def _sql_doi_resolution() -> str:
+    from unarxive_spark.functions.refs import (
+        extract_dois_sql,
+        implicit_doi_sql,
+    )
+
+    text2 = (
+        "CASE WHEN doc_id % 3 = 0 THEN text || ' see doi:10.' || "
+        "CAST(4000 + doc_id % 100 AS VARCHAR) || '/j.' || source || '.' "
+        "|| CAST(doc_id AS VARCHAR) || '.' ELSE text END"
+    )
+    explicit = f"list_extract({extract_dois_sql(text2)}, 1)"
+    final = f"COALESCE({explicit}, {implicit_doi_sql('source', 'doc_id')})"
+    return f"""
+WITH rows_ AS (
+  SELECT string_split({final}, '/')[1] AS registrant,
+         CASE WHEN {explicit} IS NOT NULL THEN 1 ELSE 0 END AS exp
+  FROM documents
+)
+SELECT registrant, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(exp) AS BIGINT) AS n_explicit,
+       CAST(sum(1 - exp) AS BIGINT) AS n_derived
+FROM rows_ GROUP BY 1"""
+
+
+SQL_DOI_RESOLUTION = _sql_doi_resolution()
+
+
 TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_pricing_summary": q_pricing_summary,
     "q21_revenue_by_nation": q_revenue_by_nation,
@@ -621,6 +683,7 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q34_cosine_topk": q_cosine_topk,
     "q35_match_cascade": q_match_cascade,
     "q36_license_histogram": q_license_histogram,
+    "q40_doi_resolution": q_doi_resolution,
 }
 
 TABULAR_ORACLES: dict[str, str] = {
@@ -641,4 +704,5 @@ TABULAR_ORACLES: dict[str, str] = {
     "q34_cosine_topk": SQL_COSINE_TOPK,
     "q35_match_cascade": SQL_MATCH_CASCADE,
     "q36_license_histogram": SQL_LICENSE_HISTOGRAM,
+    "q40_doi_resolution": SQL_DOI_RESOLUTION,
 }
