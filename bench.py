@@ -38,7 +38,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # dominates the fixed serial stage/scheduling floor (~0.5-1 s/superstep)
 # even at 32 cores — at 200k convs (3.6 M edges) the 32-core superstep
 # was pure floor and the 8→32 leg measured the floor, not the algorithm.
-BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "600000"))
+# 400k (~7.2 M edges) keeps the full bench under the per-round budget.
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "400000"))
 SCALE_ITERS = int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "7"))
 EDGES_PATH = os.environ.get(
     "SPARK_GRAFT_BENCH_EDGES", "/tmp/unarxive_bench_edges"

@@ -102,3 +102,39 @@ def test_ivf_recall_and_determinism(emb, queries):
     # deterministic: same result both runs (no sampling anywhere)
     again = ivf_ann_topk(emb, queries, k=k, n_centroids=8, n_probe=4).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, approx))
+
+
+def test_ivf_persisted_probe_prunes_partitions(spark, emb, queries, tmp_path):
+    """The persisted IVF layout must (a) return exactly what the
+    in-memory IVF path returns and (b) scan ONLY the probed inverted
+    lists — PartitionFilters on centroid_id at the parquet scan, i.e.
+    the layout that makes ANN a partial-scan at 100 TB."""
+    import contextlib
+    import io
+
+    from unarxive_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_probe_topk,
+        ivf_write,
+    )
+
+    path = str(tmp_path / "ivf")
+    cents = ivf_write(emb, path, n_centroids=8)
+    got = ivf_probe_topk(
+        spark, path, cents, queries, k=10, n_probe=4
+    )
+    in_mem = ivf_ann_topk(emb, queries, k=10, n_centroids=8, n_probe=4)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, in_mem.collect())
+    )
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:250]
+    assert "centroid_id" in pf and "IN" in pf.upper()
+    # corpus ⋈ probes is a hash equi-join on centroid_id (the only cross
+    # join in the plan is the |Q|×|C| query-centroid scoring, by design)
+    assert "BroadcastHashJoin" in plan

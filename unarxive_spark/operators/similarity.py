@@ -213,28 +213,8 @@ def ivf_ann_topk(
     assigned, centroids = ivf_index(
         emb, n_centroids, dim, id_col, vec_col
     )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(query_vec_col).alias("qv"),
-        _norm(F.col(query_vec_col)).alias("qnorm"),
-    )
-    q_cent = q.crossJoin(F.broadcast(centroids)).select(
-        "query_id",
-        "qv",
-        "qnorm",
-        "centroid_id",
-        (
-            _dot(F.col("qv"), F.col("cvec"))
-            / (F.col("qnorm") * _norm(F.col("cvec")))
-        ).alias("sim"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc("centroid_id")
-    )
-    probes = (
-        q_cent.withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= n_probe)
-        .select("query_id", "qv", "qnorm", "centroid_id")
+    probes = _query_probes(
+        queries, centroids, n_probe, query_id_col, query_vec_col
     )
     cands = assigned.join(F.broadcast(probes), "centroid_id")
     scored = cands.select(
@@ -265,6 +245,100 @@ def _probe_masks(n_planes: int, radius: int) -> list[int]:
                 m |= 1 << b
             masks.append(m)
     return masks
+
+
+def _query_probes(
+    queries: DataFrame,
+    centroids: DataFrame,
+    n_probe: int,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Per query: the ``n_probe`` nearest centroid ids (+ carried query
+    vector/norm) — the probe list both IVF variants share."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qv"),
+        _norm(F.col(query_vec_col)).alias("qnorm"),
+    )
+    q_cent = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "qv",
+        "qnorm",
+        "centroid_id",
+        (
+            _dot(F.col("qv"), F.col("cvec"))
+            / (F.col("qnorm") * _norm(F.col("cvec")))
+        ).alias("sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("centroid_id")
+    )
+    return (
+        q_cent.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "qv", "qnorm", "centroid_id")
+    )
+
+
+def ivf_write(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the IVF index and persist the inverted lists PARTITIONED BY
+    ``centroid_id`` — the 100-TB layout: each list is its own partition
+    directory, so a probe reads only the probed lists (real partition
+    pruning at the scan, asserted in tests/test_plan_shapes.py).
+    Returns the centroid table (small; persist alongside on a cluster).
+    """
+    assigned, centroids = ivf_index(emb, n_centroids, dim, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        path
+    )
+    return centroids
+
+
+def ivf_probe_topk(
+    spark,
+    path: str,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Probe a persisted IVF index: nearest ``n_probe`` lists per query,
+    scan ONLY those partitions (static partition filter from the tiny
+    probe list — metadata-sized collect), exact cosine re-rank inside.
+    """
+    probes = _query_probes(
+        queries, centroids, n_probe, query_id_col, query_vec_col
+    ).cache()
+    probe_ids = sorted(
+        r["centroid_id"]
+        for r in probes.select("centroid_id").distinct().collect()
+    )
+    corpus = spark.read.parquet(path).filter(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    cands = corpus.join(F.broadcast(probes), "centroid_id")
+    scored = cands.select(
+        "query_id",
+        "id",
+        (_dot(F.col("vec"), F.col("qv")) / (F.col("norm") * F.col("qnorm"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def lsh_ann_topk(

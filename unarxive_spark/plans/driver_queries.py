@@ -801,6 +801,105 @@ GROUP BY ROLLUP (tax_group, archive, category)"""
 SQL_TAXONOMY_ROLLUP = _sql_taxonomy_rollup()
 
 
+def q_year_rollup(spark, sf_dir):
+    """A4 analog: year/month ROLLUP grouping sets
+    (calc_stats.py:347-358)."""
+    from unarxive_spark.operators.stats import year_rollup
+
+    return year_rollup(_vertices(spark, sf_dir))
+
+
+SQL_YEAR_ROLLUP = f"""{VERTS_CTE}
+SELECT COALESCE(year, 'ALL') AS year,
+       COALESCE(month, 'ALL') AS month,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(sum(n_turns) AS BIGINT) AS n_turns
+FROM (SELECT substr(month, 1, 4) AS year, month, n_turns FROM vattrs)
+GROUP BY ROLLUP (year, month)"""
+
+
+PPR_SEEDS = ["c000000", "c000001"]
+
+
+def q_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank (teleport + dangling mass to the seed set),
+    fixed 20 supersteps, rounded for the cross-engine hash."""
+    res = pagerank(
+        _edges(spark, sf_dir),
+        damping=0.85,
+        tol=-1.0,
+        max_iter=PR_ITERS,
+        personalization=PPR_SEEDS,
+    )
+    return res.ranks.select("conv_id", F.round("rank", 6).alias("rank"))
+
+
+_SEEDS_SQL = ", ".join(f"'{s}'" for s in PPR_SEEDS)
+_N_PPR_SEEDS = len(PPR_SEEDS)
+
+SQL_PERSONALIZED_PAGERANK = f"""{GRAPH_PREFIX},
+gverts AS (SELECT src_conv_id AS conv_id FROM edges
+           UNION SELECT dst_conv_id FROM edges),
+-- engine semantics: p_v = 1/len(seed LIST) on seed vertices PRESENT in
+-- the graph (an absent seed's share simply vanishes) — mirror exactly
+seeds AS (SELECT conv_id FROM gverts WHERE conv_id IN ({_SEEDS_SQL})),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM gverts),
+outw AS (SELECT src_conv_id, SUM(weight) AS ow FROM edges GROUP BY 1),
+norm AS (SELECT src_conv_id AS src, dst_conv_id AS dst, weight / ow AS p
+         FROM edges JOIN outw USING (src_conv_id)),
+dangling AS (SELECT conv_id FROM gverts
+             WHERE conv_id NOT IN (SELECT src_conv_id FROM edges)),
+aug AS (
+  SELECT src, dst, p FROM norm
+  UNION ALL
+  -- dangling mass teleports to the SEED set (1/len(seed list) each)
+  SELECT d.conv_id, sd.conv_id, 1e0 / {_N_PPR_SEEDS}e0
+  FROM dangling d CROSS JOIN seeds sd
+  UNION ALL
+  SELECT conv_id, conv_id, 0e0 FROM gverts
+),
+pr AS (
+  WITH RECURSIVE prr(iter, conv_id, rank) AS (
+    -- engine initializes UNIFORM 1/n regardless of the seed set
+    SELECT 0, conv_id, 1e0 / (SELECT n FROM nn) FROM gverts
+    UNION ALL
+    SELECT iter + 1, a.dst,
+           CASE WHEN a.dst IN ({_SEEDS_SQL})
+                THEN 0.15e0 / {_N_PPR_SEEDS}e0 ELSE 0e0 END
+           + 0.85e0 * SUM(a.p * prr.rank)
+    FROM prr JOIN aug a ON a.src = prr.conv_id
+    WHERE iter < {PR_ITERS}
+    GROUP BY 1, 2
+  ) SELECT * FROM prr
+)
+SELECT conv_id, round(rank, 6) AS rank FROM pr WHERE iter = {PR_ITERS}"""
+
+
+def q_scc(spark, sf_dir):
+    """Strongly connected components (pivot forward-backward
+    reachability); labels = min conv_id per SCC. Oracle: pairwise mutual
+    reachability via recursive CTE (exact on the capped dst space)."""
+    from unarxive_spark.operators.scc import strongly_connected_components
+
+    return strongly_connected_components(_edges(spark, sf_dir)).components
+
+
+SQL_SCC = f"""{GRAPH_PREFIX},
+de AS (SELECT DISTINCT src_conv_id AS u, dst_conv_id AS v FROM edges
+       WHERE src_conv_id != dst_conv_id),
+gverts AS (SELECT u AS conv_id FROM de UNION SELECT v FROM de),
+reach AS (
+  WITH RECURSIVE r(u, v) AS (
+    SELECT conv_id, conv_id FROM gverts
+    UNION
+    SELECT r.u, e.v FROM r JOIN de e ON e.u = r.v
+  ) SELECT * FROM r
+)
+SELECT a.u AS conv_id, min(a.v) AS component
+FROM reach a JOIN reach b ON a.u = b.v AND a.v = b.u
+GROUP BY 1"""
+
+
 GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_transcripts": q_transcripts,
     "q02_mine_refs": q_mine_refs,
@@ -826,6 +925,9 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q37_cat_month_cube_full": q_cat_month_cube_full,
     "q38_link_rate_by_day": q_link_rate_by_day,
     "q39_taxonomy_rollup": q_taxonomy_rollup,
+    "q41_year_rollup": q_year_rollup,
+    "q42_personalized_pagerank": q_personalized_pagerank,
+    "q43_scc": q_scc,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
@@ -853,4 +955,7 @@ GRAPH_ORACLES: dict[str, str] = {
     "q37_cat_month_cube_full": SQL_CAT_MONTH_CUBE_FULL,
     "q38_link_rate_by_day": SQL_LINK_RATE_BY_DAY,
     "q39_taxonomy_rollup": SQL_TAXONOMY_ROLLUP,
+    "q41_year_rollup": SQL_YEAR_ROLLUP,
+    "q42_personalized_pagerank": SQL_PERSONALIZED_PAGERANK,
+    "q43_scc": SQL_SCC,
 }
