@@ -80,3 +80,55 @@ def test_media_feature_extraction(spark, transcripts_small):
     stats = media_stats_by_kind(feats).collect()[0]
     assert stats["kind"] == "image"
     assert stats["n_distinct_payloads"] == stats["n_media"]
+
+
+def test_session_window_stream(spark):
+    """Session-window streaming agg: refs within the gap merge into one
+    session; a gap beyond 30 minutes splits — matches the hand-computed
+    sessionization on a deterministic fixture."""
+    import datetime as dt
+
+    from unarxive_spark.streaming.incremental import (
+        TRANSCRIPT_SCHEMA,
+        session_ref_rates_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="sess_stream_")
+    in_dir = f"{base}/in"
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def row(conv, idx, minutes, ref):
+        return (
+            conv, idx, "user", f"see conv:{ref}", "",
+            t0 + dt.timedelta(minutes=minutes),
+        )
+
+    rows = [
+        # cA: refs at 0, 10, 25 min -> ONE session (gaps <= 30m), 3 refs
+        row("cA", 0, 0, "c000001"),
+        row("cA", 1, 10, "c000002"),
+        row("cA", 2, 25, "c000003"),
+        # cA: ref at 90 min -> SECOND session
+        row("cA", 3, 90, "c000004"),
+        # cB: single ref
+        row("cB", 0, 5, "c000001"),
+    ]
+    try:
+        spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).write.parquet(in_dir)
+        stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(in_dir)
+        q = (
+            session_ref_rates_stream(stream)
+            .writeStream.format("memory")
+            .queryName("sess_out")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["src_conv_id"], r["n_refs"])
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        }
+        assert got == {("cA", 3), ("cA", 1), ("cB", 1)}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

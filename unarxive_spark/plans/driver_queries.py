@@ -875,6 +875,43 @@ pr AS (
 SELECT conv_id, round(rank, 6) AS rank FROM pr WHERE iter = {PR_ITERS}"""
 
 
+def q_lpa_modularity(spark, sf_dir):
+    """Newman modularity of the 3-superstep LPA partition — the
+    'how good are these communities' score, as a single oracle-checked
+    row (CLAUDE.md carry-over item)."""
+    from unarxive_spark.operators.lpa import label_propagation
+    from unarxive_spark.operators.modularity import modularity_df
+
+    e = _edges(spark, sf_dir)
+    labels = label_propagation(e, n_iter=3).labels
+    return modularity_df(e, labels).select(
+        F.round("modularity", 6).alias("modularity")
+    )
+
+
+# oracle: extend the LPA CTE chain (labels = l3) with the three
+# modularity aggregates over the same undirected weighted view
+SQL_LPA_MODULARITY = SQL_LPA.replace(
+    "\nSELECT conv_id, label FROM l3",
+    """,
+twom AS (SELECT sum(w) AS tm FROM undw),
+win AS (
+  SELECT COALESCE(sum(a.w), 0e0) AS wi
+  FROM undw a
+  JOIN l3 lu ON lu.conv_id = a.u
+  JOIN l3 lv ON lv.conv_id = a.v
+  WHERE lu.label = lv.label
+),
+vdeg AS (SELECT u, sum(w) AS dg FROM undw GROUP BY 1),
+cdeg AS (SELECT l.label, sum(dg) AS d
+         FROM vdeg JOIN l3 l ON l.conv_id = vdeg.u GROUP BY 1),
+sq AS (SELECT COALESCE(sum(d * d), 0e0) AS s FROM cdeg)
+SELECT round(CASE WHEN tm IS NULL OR tm = 0 THEN 0e0
+             ELSE wi / tm - s / (tm * tm) END, 6) AS modularity
+FROM twom, win, sq""",
+)
+
+
 def q_scc(spark, sf_dir):
     """Strongly connected components (pivot forward-backward
     reachability); labels = min conv_id per SCC. Oracle: pairwise mutual
@@ -928,6 +965,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q41_year_rollup": q_year_rollup,
     "q42_personalized_pagerank": q_personalized_pagerank,
     "q43_scc": q_scc,
+    "q44_lpa_modularity": q_lpa_modularity,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
@@ -958,4 +996,5 @@ GRAPH_ORACLES: dict[str, str] = {
     "q41_year_rollup": SQL_YEAR_ROLLUP,
     "q42_personalized_pagerank": SQL_PERSONALIZED_PAGERANK,
     "q43_scc": SQL_SCC,
+    "q44_lpa_modularity": SQL_LPA_MODULARITY,
 }

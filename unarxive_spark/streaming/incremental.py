@@ -91,6 +91,29 @@ def compact_edges(spark: SparkSession, landing_dir: str) -> DataFrame:
     )
 
 
+def session_ref_rates_stream(
+    transcripts: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """Session-window aggregation (``F.session_window``): per-source
+    reference counts over gap-based sessions — the streaming counterpart
+    of the batch lag+cumsum sessionization (q25), with state expiry
+    driven by the watermark instead of a window function."""
+    pairs = mine_ref_pairs_stream(transcripts)
+    return (
+        pairs.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window("ts", gap).alias("win"), "src_conv_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_refs"))
+        .select(
+            "src_conv_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_refs",
+        )
+    )
+
+
 def hourly_ref_rates_stream(transcripts: DataFrame) -> DataFrame:
     """Watermarked tumbling-window aggregation (late data tolerated up to
     1 hour): references mined per hour — the streaming counterpart of the
