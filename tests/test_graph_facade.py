@@ -27,3 +27,17 @@ def test_facade_end_to_end(spark, transcripts_small):
     assert b.count() >= 1
     q = g.modularity(g.label_propagation(n_iter=2).labels)
     assert -0.5 <= q <= 1.0
+
+
+def test_facade_round2_surface(spark, transcripts_small):
+    g = LinkGraph.from_transcripts(transcripts_small).cache()
+    cc = g.co_citation(min_count=1, max_degree=50)
+    bc = g.bibliographic_coupling(min_count=1, max_degree=50)
+    assert set(cc.columns) == {"a", "b", "n_common_citers"}
+    assert set(bc.columns) == {"a", "b", "n_common_cited"}
+    full = g.category_month_cube(full=True)
+    assert len(full.columns) == 25  # 2 keys + 23 metrics
+    tr = g.taxonomy_rollup()
+    assert {"tax_group", "archive", "category"} <= set(tr.columns)
+    assert tr.filter("tax_group = 'ALL'").count() == 1  # grand total
+    assert g.link_rate_by_day().count() >= 1

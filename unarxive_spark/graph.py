@@ -110,6 +110,18 @@ class LinkGraph:
 
         return modularity(self.edges, labels)
 
+    def co_citation(self, **kw) -> DataFrame:
+        from unarxive_spark.operators.cocitation import co_citation
+
+        return co_citation(self.edges, **kw)
+
+    def bibliographic_coupling(self, **kw) -> DataFrame:
+        from unarxive_spark.operators.cocitation import (
+            bibliographic_coupling,
+        )
+
+        return bibliographic_coupling(self.edges, **kw)
+
     def degrees(self) -> DataFrame:
         return _deg.degrees(self.edges)
 
@@ -123,14 +135,30 @@ class LinkGraph:
             raise ValueError("vertices required; use from_transcripts")
         return enrich_edges(self.edges, self.vertices)
 
-    def category_month_cube(self) -> DataFrame:
+    def category_month_cube(self, full: bool = False) -> DataFrame:
+        if full:
+            from unarxive_spark.operators.stats import (
+                category_month_cube_full,
+            )
+
+            return category_month_cube_full(self._require_vertices())
         return category_month_cube(self._require_vertices())
 
     def group_rollup(self) -> DataFrame:
         return group_rollup(self._require_vertices())
 
+    def taxonomy_rollup(self) -> DataFrame:
+        from unarxive_spark.operators.stats import taxonomy_rollup
+
+        return taxonomy_rollup(self._require_vertices())
+
     def link_rate_by_group(self) -> DataFrame:
         return link_rate_by_group(self._require_vertices())
+
+    def link_rate_by_day(self) -> DataFrame:
+        from unarxive_spark.operators.stats import link_rate_by_day
+
+        return link_rate_by_day(self._require_vertices())
 
     @staticmethod
     def resolution_metrics(transcripts: DataFrame) -> DataFrame:

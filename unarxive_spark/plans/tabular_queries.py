@@ -665,6 +665,32 @@ FROM rows_ GROUP BY 1"""
 SQL_DOI_RESOLUTION = _sql_doi_resolution()
 
 
+def q_order_priority_check(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS-style left-semi join + grouped count —
+    orders in a date window having at least one discounted lineitem,
+    counted per priority (pushdown-able filters on both sides)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+SQL_ORDER_PRIORITY_CHECK = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+GROUP BY 1"""
+
+
 TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_pricing_summary": q_pricing_summary,
     "q21_revenue_by_nation": q_revenue_by_nation,
@@ -684,6 +710,7 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35_match_cascade": q_match_cascade,
     "q36_license_histogram": q_license_histogram,
     "q40_doi_resolution": q_doi_resolution,
+    "q45_order_priority_check": q_order_priority_check,
 }
 
 TABULAR_ORACLES: dict[str, str] = {
@@ -705,4 +732,5 @@ TABULAR_ORACLES: dict[str, str] = {
     "q35_match_cascade": SQL_MATCH_CASCADE,
     "q36_license_histogram": SQL_LICENSE_HISTOGRAM,
     "q40_doi_resolution": SQL_DOI_RESOLUTION,
+    "q45_order_priority_check": SQL_ORDER_PRIORITY_CHECK,
 }
