@@ -937,6 +937,35 @@ FROM reach a JOIN reach b ON a.u = b.v AND a.v = b.u
 GROUP BY 1"""
 
 
+def q_group_license_cube(spark, sf_dir):
+    """CUBE grouping sets (all 4 combinations of grp × license_coarse) —
+    the third grouping-set flavor after ROLLUP (q10/q39/q41)."""
+    v = _vertices(spark, sf_dir)
+    return (
+        v.cube("grp", "license_coarse")
+        .agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.sum("n_refs").alias("n_refs"),
+        )
+        .select(
+            F.coalesce("grp", F.lit("ALL")).alias("grp"),
+            F.coalesce("license_coarse", F.lit("ALL")).alias(
+                "license_coarse"
+            ),
+            "n_convs",
+            "n_refs",
+        )
+    )
+
+
+SQL_GROUP_LICENSE_CUBE = f"""{VERTS_CTE}
+SELECT COALESCE(grp, 'ALL') AS grp,
+       COALESCE(license_coarse, 'ALL') AS license_coarse,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(sum(n_refs) AS BIGINT) AS n_refs
+FROM vattrs GROUP BY CUBE (grp, license_coarse)"""
+
+
 GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_transcripts": q_transcripts,
     "q02_mine_refs": q_mine_refs,
@@ -966,6 +995,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q42_personalized_pagerank": q_personalized_pagerank,
     "q43_scc": q_scc,
     "q44_lpa_modularity": q_lpa_modularity,
+    "q46_group_license_cube": q_group_license_cube,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
@@ -997,4 +1027,5 @@ GRAPH_ORACLES: dict[str, str] = {
     "q42_personalized_pagerank": SQL_PERSONALIZED_PAGERANK,
     "q43_scc": SQL_SCC,
     "q44_lpa_modularity": SQL_LPA_MODULARITY,
+    "q46_group_license_cube": SQL_GROUP_LICENSE_CUBE,
 }

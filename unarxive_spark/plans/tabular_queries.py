@@ -691,6 +691,47 @@ WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
 GROUP BY 1"""
 
 
+def q_moving_avg_value(spark, sf_dir):
+    """Bounded window frame (§2.5): per-user moving average of event
+    value over the current + 3 preceding events, time-ordered."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 6).alias("avg_value_4"),
+    )
+
+
+SQL_MOVING_AVG_VALUE = """
+SELECT user_id, event_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+         AS avg_value_4
+FROM events"""
+
+
+def q_repeat_buyers(spark, sf_dir):
+    """Set operation (§2.7 INTERSECT): customers that have BOTH an open
+    and a finished order — distinct-set semantics on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    open_c = o.filter("o_orderstatus = 'O'").select("o_custkey")
+    done_c = o.filter("o_orderstatus = 'F'").select("o_custkey")
+    return open_c.intersect(done_c).withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+
+
+SQL_REPEAT_BUYERS = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"""
+
+
 TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_pricing_summary": q_pricing_summary,
     "q21_revenue_by_nation": q_revenue_by_nation,
@@ -711,6 +752,8 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_license_histogram": q_license_histogram,
     "q40_doi_resolution": q_doi_resolution,
     "q45_order_priority_check": q_order_priority_check,
+    "q47_moving_avg_value": q_moving_avg_value,
+    "q48_repeat_buyers": q_repeat_buyers,
 }
 
 TABULAR_ORACLES: dict[str, str] = {
@@ -733,4 +776,6 @@ TABULAR_ORACLES: dict[str, str] = {
     "q36_license_histogram": SQL_LICENSE_HISTOGRAM,
     "q40_doi_resolution": SQL_DOI_RESOLUTION,
     "q45_order_priority_check": SQL_ORDER_PRIORITY_CHECK,
+    "q47_moving_avg_value": SQL_MOVING_AVG_VALUE,
+    "q48_repeat_buyers": SQL_REPEAT_BUYERS,
 }
