@@ -79,3 +79,45 @@ def test_graph_ops_match_oracles(spark, rows):
     assert got_cc == components_oracle(rows)
 
     assert triangle_count(df) == triangles_oracle(rows)
+
+
+# ---------------- PPJoin losslessness (random docs) ----------------
+
+_words = st.sampled_from(
+    ["the", "fast", "query", "join", "scan", "table", "spark", "batch"]
+)
+_docs = st.lists(
+    st.lists(_words, min_size=1, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_docs, threshold=st.sampled_from([0.2, 0.5, 0.8]))
+def test_jaccard_filters_lossless_property(spark, texts, threshold):
+    """Random tiny-vocab docs (worst case for posting lists): the plain,
+    length-filtered and prefix+length paths must return IDENTICAL pair
+    sets — both filters are provably lossless, this pins the proofs."""
+    from unarxive_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def run(**kw):
+        return {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in ngram_jaccard_pairs(
+                df, threshold=threshold, **kw
+            ).collect()
+        }
+
+    plain = run(prefix_filter=False, length_filter=False)
+    assert run(prefix_filter=False, length_filter=True) == plain
+    assert run(prefix_filter=True, length_filter=True) == plain
