@@ -173,3 +173,33 @@ def scc_oracle(edges: list[tuple[str, str, float]]) -> dict[str, str]:
         if v not in index:
             strongconnect(v)
     return out
+
+
+def hits_oracle(
+    edges: list[tuple[str, str, float]], n_iter: int = 10
+) -> dict[str, tuple[float, float]]:
+    """Kleinberg HITS, weighted, L1-normalized per half-step (matches
+    operators/hits.py): returns {vertex: (hub, authority)}."""
+    import numpy as np
+
+    w: dict[tuple[str, str], float] = {}
+    for u, v, x in edges:
+        if u != v:
+            w[(u, v)] = w.get((u, v), 0.0) + x
+    verts = sorted({u for u, _ in w} | {v for _, v in w})
+    if not verts:
+        return {}
+    idx = {v: i for i, v in enumerate(verts)}
+    m = np.zeros((len(verts), len(verts)))
+    for (u, v), x in w.items():
+        m[idx[u], idx[v]] = x
+    h = np.ones(len(verts))
+    a = np.zeros(len(verts))
+    for _ in range(n_iter):
+        a = m.T @ h
+        s = a.sum()
+        a = a / s if s else np.zeros_like(a)
+        h = m @ a
+        s = h.sum()
+        h = h / s if s else np.zeros_like(h)
+    return {v: (float(h[idx[v]]), float(a[idx[v]])) for v in verts}

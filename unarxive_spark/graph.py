@@ -110,6 +110,21 @@ class LinkGraph:
 
         return modularity(self.edges, labels)
 
+    def hits(self, **kw):
+        from unarxive_spark.operators.hits import hits
+
+        return hits(self.edges, **kw)
+
+    def k_core(self, k: int, **kw) -> DataFrame:
+        from unarxive_spark.operators.kcore import k_core
+
+        return k_core(self.edges, k, **kw)
+
+    def core_numbers(self, **kw) -> DataFrame:
+        from unarxive_spark.operators.kcore import core_numbers
+
+        return core_numbers(self.edges, **kw)
+
     def co_citation(self, **kw) -> DataFrame:
         from unarxive_spark.operators.cocitation import co_citation
 

@@ -937,6 +937,66 @@ FROM reach a JOIN reach b ON a.u = b.v AND a.v = b.u
 GROUP BY 1"""
 
 
+HITS_ITERS = 3
+
+
+def q_hits(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg), fixed 3 supersteps, L1
+    normalization, rounded for the cross-engine hash. Oracle: the
+    supersteps UNROLLED as chained CTEs (like q14_lpa); exactness also
+    pinned by the numpy oracle in tests/test_hits.py."""
+    from unarxive_spark.operators.hits import hits
+
+    res = hits(_edges(spark, sf_dir), n_iter=HITS_ITERS)
+    return res.scores.select(
+        "conv_id",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
+def _sql_hits(n_iter: int) -> str:
+    parts = [
+        """we AS (SELECT src_conv_id AS src, dst_conv_id AS dst,
+         SUM(weight) AS w
+  FROM edges WHERE src_conv_id != dst_conv_id GROUP BY 1, 2),
+hverts AS (SELECT src AS conv_id FROM we UNION SELECT dst FROM we),
+s0 AS (SELECT conv_id, 1e0 AS hub, 1e0 AS authority FROM hverts)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""a{i}raw AS (
+  SELECT e.dst AS conv_id, SUM(e.w * s.hub) AS a
+  FROM we e JOIN s{i - 1} s ON s.conv_id = e.src GROUP BY 1),
+a{i} AS (
+  SELECT g.conv_id,
+         CASE WHEN t.s = 0 THEN 0e0
+              ELSE COALESCE(r.a, 0e0) / t.s END AS authority
+  FROM hverts g
+  LEFT JOIN a{i}raw r USING (conv_id)
+  CROSS JOIN (SELECT COALESCE(SUM(a), 0e0) AS s FROM a{i}raw) t),
+h{i}raw AS (
+  SELECT e.src AS conv_id, SUM(e.w * a.authority) AS h
+  FROM we e JOIN a{i} a ON a.conv_id = e.dst GROUP BY 1),
+s{i} AS (
+  SELECT g.conv_id,
+         CASE WHEN t.s = 0 THEN 0e0
+              ELSE COALESCE(r.h, 0e0) / t.s END AS hub,
+         a.authority
+  FROM hverts g
+  LEFT JOIN h{i}raw r USING (conv_id)
+  JOIN a{i} a USING (conv_id)
+  CROSS JOIN (SELECT COALESCE(SUM(h), 0e0) AS s FROM h{i}raw) t)""")
+    ctes = ",\n".join(parts)
+    return (
+        f"{GRAPH_PREFIX},\n{ctes}\n"
+        f"SELECT conv_id, round(hub, 6) AS hub, "
+        f"round(authority, 6) AS authority FROM s{n_iter}"
+    )
+
+
+SQL_HITS = _sql_hits(HITS_ITERS)
+
+
 def q_group_license_cube(spark, sf_dir):
     """CUBE grouping sets (all 4 combinations of grp × license_coarse) —
     the third grouping-set flavor after ROLLUP (q10/q39/q41)."""
@@ -996,6 +1056,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_scc": q_scc,
     "q44_lpa_modularity": q_lpa_modularity,
     "q46_group_license_cube": q_group_license_cube,
+    "q49_hits": q_hits,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
@@ -1028,4 +1089,5 @@ GRAPH_ORACLES: dict[str, str] = {
     "q43_scc": SQL_SCC,
     "q44_lpa_modularity": SQL_LPA_MODULARITY,
     "q46_group_license_cube": SQL_GROUP_LICENSE_CUBE,
+    "q49_hits": SQL_HITS,
 }
