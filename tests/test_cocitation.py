@@ -107,3 +107,39 @@ def test_driver_cap_binds_and_matches_duckdb(spark):
         got = sorted(map(tuple, fn(spark, "/root/testdata/sf0.001").collect()))
         want = sorted(map(tuple, con.execute(sql).fetchall()))
         assert got == want
+
+
+def test_neighbor_jaccard_matches_oracle(hub_graph):
+    from unarxive_spark.operators.cocitation import neighbor_jaccard
+
+    df, rows = hub_graph
+    # python oracle over hub-filtered undirected neighborhoods
+    adj = {}
+    for s, d, _ in rows:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    cap = 10
+    # neighbors kept only if the NEIGHBOR's degree <= cap (shared-endpoint
+    # filter removes hub rows from every neighborhood)
+    filt = {
+        v: {u for u in ns if len(adj[u]) <= cap} for v, ns in adj.items()
+    }
+    want = {}
+    verts = sorted(filt)
+    for i, a in enumerate(verts):
+        for b in verts[i + 1 :]:
+            shared = filt[a] & filt[b]
+            if len(shared) >= 1:
+                union = len(filt[a]) + len(filt[b]) - len(shared)
+                want[(a, b)] = (len(shared), len(shared) / union)
+    got = {
+        (r["a"], r["b"]): (r["n_shared"], r["sim"])
+        for r in neighbor_jaccard(
+            df, min_shared=1, max_degree=cap
+        ).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-12

@@ -137,6 +137,11 @@ class LinkGraph:
 
         return bibliographic_coupling(self.edges, **kw)
 
+    def neighbor_jaccard(self, **kw) -> DataFrame:
+        from unarxive_spark.operators.cocitation import neighbor_jaccard
+
+        return neighbor_jaccard(self.edges, **kw)
+
     def degrees(self) -> DataFrame:
         return _deg.degrees(self.edges)
 

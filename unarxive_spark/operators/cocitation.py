@@ -57,6 +57,65 @@ def co_citation(
     return pairs.filter(F.col("n_common_citers") >= min_count)
 
 
+def neighbor_jaccard(
+    edges: DataFrame,
+    min_shared: int = 1,
+    max_degree: int | None = None,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Link-prediction by neighborhood overlap (undirected):
+    ``sim(a,b) = |N(a)∩N(b)| / |N(a)∪N(b)|`` for pairs sharing ≥
+    ``min_shared`` neighbors. Pure integer counts + one exact division —
+    no transcendental functions, so the score is bit-identical across
+    engines (unlike Adamic-Adar's 1/log(deg) weights).
+
+    Shape: the same shared-endpoint wedge join as co-citation, over the
+    undirected neighbor table; ``max_degree`` caps the shared-neighbor
+    hub exactly like the second-order measures (a mega-hub neighbor
+    fans out quadratically and carries no signal).
+    """
+    from unarxive_spark.operators.components import undirected
+
+    nbr = undirected(edges).select("u", "v").distinct()
+    if max_degree is not None:
+        # cap on the SHARED endpoint (u = the common neighbor)
+        hub = nbr.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
+        nbr = nbr.join(
+            hub.filter(F.col("_d") <= max_degree), "u", "left_semi"
+        )
+    deg = nbr.groupBy("v").agg(F.count(F.lit(1)).alias("_deg"))
+    shared = (
+        nbr.alias("l")
+        .join(
+            nbr.alias("r"),
+            (F.col("l.u") == F.col("r.u")) & (F.col("l.v") < F.col("r.v")),
+        )
+        .groupBy(F.col("l.v").alias("a"), F.col("r.v").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        shared.join(
+            deg.select(F.col("v").alias("a"), F.col("_deg").alias("da")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("v").alias("b"), F.col("_deg").alias("db")),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            "n_shared",
+            (
+                F.col("n_shared")
+                / (F.col("da") + F.col("db") - F.col("n_shared"))
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def bibliographic_coupling(
     edges: DataFrame, min_count: int = 1, max_degree: int | None = None
 ) -> DataFrame:

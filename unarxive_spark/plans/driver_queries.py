@@ -937,6 +937,45 @@ FROM reach a JOIN reach b ON a.u = b.v AND a.v = b.u
 GROUP BY 1"""
 
 
+NJ_MAX_DEGREE = 100
+NJ_MIN_SHARED = 10
+
+
+def q_neighbor_jaccard(spark, sf_dir):
+    """Link-prediction by neighborhood-overlap Jaccard (hub-capped, like
+    q19a/q19b) — exact integer counts + one division, rounded."""
+    from unarxive_spark.operators.cocitation import neighbor_jaccard
+
+    out = neighbor_jaccard(
+        _edges(spark, sf_dir),
+        min_shared=NJ_MIN_SHARED,
+        max_degree=NJ_MAX_DEGREE,
+    )
+    return out.select(
+        "a", "b", "n_shared", F.round("sim", 6).alias("sim")
+    )
+
+
+SQL_NEIGHBOR_JACCARD = f"""{GRAPH_PREFIX},
+und AS (SELECT src_conv_id AS u, dst_conv_id AS v FROM edges
+        UNION SELECT dst_conv_id, src_conv_id FROM edges),
+nbr0 AS (SELECT DISTINCT u, v FROM und WHERE u != v),
+nbr AS (SELECT * FROM nbr0 WHERE u IN (
+          SELECT u FROM nbr0 GROUP BY 1
+          HAVING count(*) <= {NJ_MAX_DEGREE})),
+ndeg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM nbr GROUP BY 1),
+shared AS (
+  SELECT l.v AS a, r.v AS b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM nbr l JOIN nbr r ON l.u = r.u AND l.v < r.v
+  GROUP BY 1, 2 HAVING count(*) >= {NJ_MIN_SHARED}
+)
+SELECT a, b, n_shared,
+       round(CAST(n_shared AS DOUBLE) / (da.d + db.d - n_shared), 6) AS sim
+FROM shared
+JOIN ndeg da ON da.v = a
+JOIN ndeg db ON db.v = b"""
+
+
 HITS_ITERS = 3
 
 
@@ -1057,6 +1096,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_lpa_modularity": q_lpa_modularity,
     "q46_group_license_cube": q_group_license_cube,
     "q49_hits": q_hits,
+    "q50_neighbor_jaccard": q_neighbor_jaccard,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
@@ -1090,4 +1130,5 @@ GRAPH_ORACLES: dict[str, str] = {
     "q44_lpa_modularity": SQL_LPA_MODULARITY,
     "q46_group_license_cube": SQL_GROUP_LICENSE_CUBE,
     "q49_hits": SQL_HITS,
+    "q50_neighbor_jaccard": SQL_NEIGHBOR_JACCARD,
 }
