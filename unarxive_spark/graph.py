@@ -142,6 +142,11 @@ class LinkGraph:
 
         return neighbor_jaccard(self.edges, **kw)
 
+    def random_walks(self, starts: DataFrame, **kw) -> DataFrame:
+        from unarxive_spark.operators.walks import random_walks
+
+        return random_walks(self.edges, starts, **kw)
+
     def degrees(self) -> DataFrame:
         return _deg.degrees(self.edges)
 
