@@ -32,15 +32,29 @@ def entry(spark: SparkSession) -> DataFrame:
     return res.ranks.orderBy(F.desc("rank"), F.asc("conv_id")).limit(20)
 
 
+# Queries whose operator coverage is fully subsumed by a superset row
+# (q09 ⊂ q37 full cube, q11 ⊂ q38 per-day series). They stay registered
+# and oracle-checked, but sit LAST so a row-capped harness still covers
+# every distinct operator (round 2's artifact stopped at exactly 50 rows,
+# dropping q47/q48 — the only window-frame / INTERSECT driver signals).
+_DEFER_LAST = ("q09_cat_month_cube", "q11_link_rate")
+
+
+def _ordered(merged: dict) -> dict:
+    for key in _DEFER_LAST:
+        merged[key] = merged.pop(key)
+    return merged
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from unarxive_spark.plans.driver_queries import GRAPH_QUERIES
     from unarxive_spark.plans.tabular_queries import TABULAR_QUERIES
 
-    return {**GRAPH_QUERIES, **TABULAR_QUERIES}
+    return _ordered({**GRAPH_QUERIES, **TABULAR_QUERIES})
 
 
 def oracle_sql() -> dict[str, str]:
     from unarxive_spark.plans.driver_queries import GRAPH_ORACLES
     from unarxive_spark.plans.tabular_queries import TABULAR_ORACLES
 
-    return {**GRAPH_ORACLES, **TABULAR_ORACLES}
+    return _ordered({**GRAPH_ORACLES, **TABULAR_ORACLES})
