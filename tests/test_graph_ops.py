@@ -62,6 +62,26 @@ def test_pagerank_zipf_graph(edges_small):
     assert top in {f"c{i:06d}" for i in range(5)}
 
 
+def test_pagerank_caller_vertices_dangling(spark):
+    # caller-supplied vertex table that OMITS an edge source (c): the
+    # dangler count must come from the vertex table's has_out flag, not
+    # n - count(edge sources) — the latter evaluates to 0 here and lets
+    # b's rank mass leak (sum < 1) instead of redistributing
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("c", "a", 1.0)],
+        "src_conv_id string, dst_conv_id string, weight double",
+    )
+    verts = spark.createDataFrame([("a",), ("b",)], "conv_id string")
+    res = pagerank(edges, tol=1e-9, max_iter=200, vertices=verts)
+    got = {r["conv_id"]: r["rank"] for r in res.ranks.collect()}
+    assert set(got) == {"a", "b"}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # restricted graph == {a→b}: match the pure-Python oracle on it
+    want = pagerank_oracle([("a", "b", 1.0)], tol=1e-9, max_iter=200)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6
+
+
 def test_pagerank_unweighted_differs(goldens):
     # star with a doubled-weight edge: weighted vs unweighted must differ
     df = goldens["star"]

@@ -22,10 +22,10 @@ def _kcore_oracle(rows, k):
     return set(adj)
 
 
-def _core_numbers_oracle(rows, k_max=64):
+def _core_numbers_oracle(rows):
     out = {}
     k = 1
-    while k <= k_max:
+    while True:
         members = _kcore_oracle(rows, k)
         if not members:
             break
@@ -70,7 +70,28 @@ def test_kcore_zipf(edges_small, k):
 def test_core_numbers_zipf(edges_small):
     rows = _rows(edges_small)
     got = {
-        r["conv_id"]: r["core"]
-        for r in core_numbers(edges_small, k_max=16).collect()
+        r["conv_id"]: r["core"] for r in core_numbers(edges_small).collect()
     }
-    assert got == _core_numbers_oracle(rows, k_max=16)
+    assert got == _core_numbers_oracle(rows)
+
+
+def test_core_numbers_many_distinct_cores(spark):
+    # disjoint cliques K2..K7 (cores 1..6) + a pendant off K7 (core 1):
+    # ≥5 distinct core values, one h-index loop resolves ALL of them —
+    # no per-k peeling, supersteps independent of the max core
+    rows = []
+    for size in range(2, 8):
+        ids = [f"k{size}_{i}" for i in range(size)]
+        rows += [
+            (ids[i], ids[j], 1.0)
+            for i in range(size)
+            for j in range(i + 1, size)
+        ]
+    rows.append(("k7_0", "pendant", 1.0))
+    df = spark.createDataFrame(
+        rows, "src_conv_id string, dst_conv_id string, weight double"
+    )
+    got = {r["conv_id"]: r["core"] for r in core_numbers(df).collect()}
+    want = _core_numbers_oracle(rows)
+    assert got == want
+    assert len(set(want.values())) >= 5

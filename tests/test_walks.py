@@ -3,7 +3,12 @@ hash-driven successor choice."""
 
 import hashlib
 
-from unarxive_spark.operators.walks import random_walks, walk_corpus
+from unarxive_spark.operators.walks import (
+    N_RANK_SHARDS,
+    _ranked_edges,
+    random_walks,
+    walk_corpus,
+)
 
 SCHEMA = "src_conv_id string, dst_conv_id string, weight double"
 
@@ -16,7 +21,11 @@ def _walk_oracle(rows, starts, walk_length, walks_per_vertex, seed):
     adj = {}
     for u, v, _ in rows:
         adj.setdefault(u, set()).add(v)
-    adj = {u: sorted(vs) for u, vs in adj.items()}
+    # engine's deterministic adjacency order: (h64(dst) % shards, dst)
+    adj = {
+        u: sorted(vs, key=lambda d: (_h64(d) % N_RANK_SHARDS, d))
+        for u, vs in adj.items()
+    }
     out = {}
     for s in starts:
         for i in range(walks_per_vertex):
@@ -66,6 +75,34 @@ def test_walks_match_python_replay(spark, edges_small):
         ).collect()
     }
     assert corpus == want
+
+
+def test_ranked_edges_deskewed_hub(spark):
+    # a 500-out-edge hub: ranks must be the exact 0..deg-1 permutation of
+    # the (shard, dst) order, and no window in the plan partitions by
+    # src ALONE over the raw adjacency (the hub would sort in one task)
+    import contextlib
+    import io
+
+    hub_rows = [("hub", f"t{i:04d}", 1.0) for i in range(500)]
+    df = spark.createDataFrame(hub_rows, SCHEMA)
+    ranked = _ranked_edges(df)
+    got = sorted(
+        (r["_rk"], r["dst"], r["_deg"]) for r in ranked.collect()
+    )
+    order = sorted(
+        (d for _, d, _ in hub_rows),
+        key=lambda d: (_h64(d) % N_RANK_SHARDS, d),
+    )
+    assert got == [(i, d, 500) for i, d in enumerate(order)]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ranked.explain("extended")
+    plan = buf.getvalue()
+    # the row_number window is keyed by (src, shard), never src alone
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "_sh" in line, line
 
 
 def test_walks_stop_at_dangling(spark):

@@ -116,6 +116,10 @@ def hits(
                 .alias("authority"),
             )
         )
+        # materialize the authority half-step ONCE: contrib_h, the final
+        # state join, and the broadcast sum all reference it — without
+        # this the authority gather would re-evaluate ~3x per superstep
+        auth = auth.localCheckpoint(eager=True)
         # hub step: gather the NEW authority mass back along edges
         contrib_h = e.join(
             auth.select(F.col("conv_id").alias("dst"), "authority"), "dst"

@@ -16,7 +16,7 @@ Oracle: pure-Python peeling in tests (exact vertex sets).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from unarxive_spark.operators.components import undirected
@@ -52,56 +52,89 @@ def k_core(
     )
 
 
-def core_numbers(
-    edges: DataFrame, k_max: int = 64, max_rounds: int = 100
-) -> DataFrame:
+def core_numbers(edges: DataFrame, max_rounds: int = 100) -> DataFrame:
     """(conv_id, core int): the largest k whose k-core contains the
-    vertex. Loops k upward reusing each k-core's edge set as the next
-    peel's input (monotonicity), stopping at the first empty core.
+    vertex — ALL core values in one superstep loop (no per-k peeling).
+
+    Single-pass h-index propagation (Lü et al. 2016, "The H-index of a
+    network node and its relation to degree and coreness"): start every
+    vertex at est = degree, then repeat
+
+        est(v) ← h-index of { est(u) : u ∈ N(v) }
+
+    The sequence is pointwise non-increasing and its fixpoint is exactly
+    the coreness vector, so rounds are bounded by how fast estimates
+    settle (typically a handful) — independent of k_max, which the
+    previous implementation looped over sequentially.
+
+    Per round the whole graph does ONE join + ONE partial-agg groupBy;
+    the h-index itself avoids collect_list entirely:
+
+        h(v) = max over distinct capped values c of min(c, run(c)),
+        run(c) = #neighbors with min(est(u), est(v)) ≥ c
+
+    Capping each neighbor value at est(v) is value-preserving (the true
+    h never exceeds est(v)) and bounds the per-vertex window to
+    ≤ est(v) DISTINCT rows — a mega-hub contributes its grouped count
+    rows, never its raw adjacency list, so no single task sorts a hub's
+    neighborhood. Raises if the fixpoint is not reached in
+    ``max_rounds`` (no silent truncation — same contract as k_core/SCC).
     """
-    spark = edges.sparkSession
     und = (
         undirected(edges).select("u", "v").distinct().localCheckpoint(
             eager=True
         )
     )
-    result = (
-        und.select(F.col("u").alias("conv_id"))
-        .distinct()
-        .select("conv_id", F.lit(0).alias("core"))
+    est = (
+        und.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("int").alias("est"))
+        .withColumnRenamed("u", "conv_id")
         .localCheckpoint(eager=True)
     )
-    for k in range(1, k_max + 1):
-        # peel within the previous core's subgraph (monotone shrink)
-        for _ in range(max_rounds):
-            deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
-            keep = deg.filter(F.col("_d") >= k).select("u")
-            n_before = und.count()
-            und = (
-                und.join(keep, "u", "left_semi")
-                .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
-                .localCheckpoint(eager=True)
+    total = est.agg(F.sum("est")).collect()[0][0]
+    if total is None:
+        return est.select("conv_id", F.col("est").alias("core"))
+    run_w = (
+        Window.partitionBy("u")
+        .orderBy(F.desc("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for _ in range(max_rounds):
+        nb = (
+            und.join(
+                est.select(
+                    F.col("conv_id").alias("v"), F.col("est").alias("_ev")
+                ),
+                "v",
             )
-            if und.count() == n_before:
-                break
-        else:
-            raise RuntimeError(
-                f"k-core peel (k={k}) did not converge within "
-                f"max_rounds={max_rounds}"
+            .join(
+                est.select(
+                    F.col("conv_id").alias("u"), F.col("est").alias("_eu")
+                ),
+                "u",
             )
-        members = und.select(F.col("u").alias("conv_id")).distinct()
-        if members.isEmpty():
-            return result
-        result = (
-            result.join(
-                members.withColumn("_in", F.lit(1)), "conv_id", "left"
+            .select("u", F.least("_ev", "_eu").alias("c"))
+        )
+        cnt = nb.groupBy("u", "c").agg(F.count(F.lit(1)).alias("_n"))
+        h = (
+            cnt.withColumn("_run", F.sum("_n").over(run_w))
+            .groupBy("u")
+            .agg(
+                F.max(F.least(F.col("c").cast("long"), F.col("_run")))
+                .cast("int")
+                .alias("_h")
             )
-            .select(
-                "conv_id",
-                F.when(F.col("_in") == 1, F.lit(k))
-                .otherwise(F.col("core"))
-                .alias("core"),
-            )
+        )
+        est = (
+            est.join(h.withColumnRenamed("u", "conv_id"), "conv_id")
+            .select("conv_id", F.least("est", "_h").alias("est"))
             .localCheckpoint(eager=True)
         )
-    return result
+        new_total = est.agg(F.sum("est")).collect()[0][0]
+        if new_total == total:  # monotone non-increasing → fixpoint
+            return est.select("conv_id", F.col("est").alias("core"))
+        total = new_total
+    raise RuntimeError(
+        f"core_numbers h-index propagation did not converge within "
+        f"max_rounds={max_rounds}"
+    )

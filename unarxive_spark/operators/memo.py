@@ -64,6 +64,14 @@ def memo_resolve(
                 f"{resolved.columns}"
             )
         resolved.write.mode("append").parquet(memo_path)
+    # dedup on read: concurrent callers (or a crash between append and
+    # commit) can land duplicate keys in the memo; keys are content-
+    # derived so duplicate rows are identical — keep one per key so the
+    # left join stays 1:1 with the requests
     return requests.join(
-        _read_memo(spark, memo_path, memo_schema), key_col, "left"
+        _read_memo(spark, memo_path, memo_schema).dropDuplicates(
+            [key_col]
+        ),
+        key_col,
+        "left",
     )

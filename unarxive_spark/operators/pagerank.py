@@ -137,7 +137,10 @@ def pagerank(
         .cache()
     )
     edges_norm.count()  # materialize the co-partitioned layout once
-    n_dangling = n - src_ids.count()
+    # count danglers from the built vertex table itself: correct even
+    # when a caller-supplied ``vertices`` frame omits some edge sources
+    # (n - src_ids.count() would undercount and leak rank mass)
+    n_dangling = vertices.filter(F.col("has_out") == 0).count()
 
     start_iter = 0
     resumed = ckpt.last_committed()

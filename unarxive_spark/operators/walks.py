@@ -23,20 +23,50 @@ from pyspark.sql import functions as F
 from unarxive_spark.functions.hashing import h64
 
 
+# shards for the de-skewed adjacency rank: a mega-hub's out-edges sort
+# in N_RANK_SHARDS independent tasks instead of one
+N_RANK_SHARDS = 16
+
+
 def _ranked_edges(edges: DataFrame) -> DataFrame:
-    """(src, dst, _rk, _deg): out-edges ranked 0..deg-1 per source in
-    deterministic dst order, with the out-degree attached."""
-    w = Window.partitionBy("src").orderBy("dst")
+    """(src, dst, _rk, _deg): out-edges ranked 0..deg-1 per source in a
+    deterministic order, with the out-degree attached.
+
+    Skew-safe two-stage rank: a plain ``row_number() over (partition by
+    src order by dst)`` sorts a mega-hub's ENTIRE adjacency list in one
+    task (windows don't AQE-split). Instead each edge is sharded by
+    ``h64(dst) % N_RANK_SHARDS``, ranked within its (src, shard) window,
+    then offset by the prefix sum of shard sizes — the offset window runs
+    over ≤ N_RANK_SHARDS rows per src. The resulting global order is
+    (shard, dst): still fully deterministic and engine-portable (the
+    replay oracle and the DuckDB driver oracle order the same way), just
+    not plain lexicographic.
+    """
     e = (
         edges.select(
             F.col("src_conv_id").alias("src"),
             F.col("dst_conv_id").alias("dst"),
         )
         .distinct()
-        .withColumn("_rk", F.row_number().over(w) - 1)
+        .withColumn("_sh", F.pmod(h64(F.col("dst")), F.lit(N_RANK_SHARDS)))
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
-    return e.join(deg, "src")
+    w_in = Window.partitionBy("src", "_sh").orderBy("dst")
+    e = e.withColumn("_rk_in", F.row_number().over(w_in) - 1)
+    sizes = e.groupBy("src", "_sh").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = (
+        Window.partitionBy("src")
+        .orderBy("_sh")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = sizes.select(
+        "src",
+        "_sh",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_n").over(Window.partitionBy("src")).alias("_deg"),
+    )
+    return e.join(offs, ["src", "_sh"]).select(
+        "src", "dst", (F.col("_rk_in") + F.col("_off")).alias("_rk"), "_deg"
+    )
 
 
 def random_walks(
