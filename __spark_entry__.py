@@ -32,12 +32,19 @@ def entry(spark: SparkSession) -> DataFrame:
     return res.ranks.orderBy(F.desc("rank"), F.asc("conv_id")).limit(20)
 
 
-# Queries whose operator coverage is fully subsumed by a superset row
-# (q09 ⊂ q37 full cube, q11 ⊂ q38 per-day series). They stay registered
-# and oracle-checked, but sit LAST so a row-capped harness still covers
-# every distinct operator (round 2's artifact stopped at exactly 50 rows,
-# dropping q47/q48 — the only window-frame / INTERSECT driver signals).
-_DEFER_LAST = ("q09_cat_month_cube", "q11_link_rate")
+# Queries deferred to the END of the registry so a row-capped harness
+# still covers every distinct operator first (round 2's artifact stopped
+# at exactly 50 rows, dropping q47/q48 — the only window-frame /
+# INTERSECT driver signals). Order within the tail: the NEW round-3
+# queries (q51/q52 — also pinned by pytest parity + pure-Python oracles)
+# come before the two superset-subsumed rows (q09 ⊂ q37 full cube,
+# q11 ⊂ q38 per-day series).
+_DEFER_LAST = (
+    "q51_core_numbers",
+    "q52_random_walks",
+    "q09_cat_month_cube",
+    "q11_link_rate",
+)
 
 
 def _ordered(merged: dict) -> dict:

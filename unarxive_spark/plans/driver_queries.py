@@ -1065,6 +1065,127 @@ SELECT COALESCE(grp, 'ALL') AS grp,
 FROM vattrs GROUP BY CUBE (grp, license_coarse)"""
 
 
+# Rounds to unroll in the q51 oracle: the h-index fixpoint lands in 12
+# rounds at sf0.01 (4 at sf0.001); extra unrolled rounds are no-ops past
+# the fixpoint, so the margin only costs oracle SQL length.
+CORE_ORACLE_ROUNDS = 14
+
+
+def q_core_numbers(spark, sf_dir):
+    """Coreness of every vertex via single-pass h-index propagation
+    (all k at once — the dense-kernel decomposition). Oracle: the
+    h-index supersteps UNROLLED as chained CTEs (like q14_lpa);
+    exactness also pinned by the peeling oracle in tests/test_kcore."""
+    from unarxive_spark.operators.kcore import core_numbers
+
+    return core_numbers(_edges(spark, sf_dir))
+
+
+def _sql_core_numbers(rounds: int) -> str:
+    # MATERIALIZED is load-bearing: est{k+1} references est{k} twice, so
+    # plain (inlined) CTEs would expand 2^rounds scans of the base table
+    parts = [
+        """und AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT src_conv_id AS u, dst_conv_id AS v FROM edges
+    UNION ALL
+    SELECT dst_conv_id, src_conv_id FROM edges
+  ) WHERE u != v
+),
+est0 AS MATERIALIZED (SELECT u AS conv_id, CAST(count(*) AS INT) AS est
+         FROM und GROUP BY 1)"""
+    ]
+    for k in range(rounds):
+        parts.append(f"""cnt{k} AS (
+  SELECT a.u, LEAST(ev.est, eu.est) AS c, count(*) AS n
+  FROM und a
+  JOIN est{k} ev ON ev.conv_id = a.v
+  JOIN est{k} eu ON eu.conv_id = a.u
+  GROUP BY 1, 2
+),
+h{k} AS (
+  SELECT u, MAX(LEAST(c, run)) AS h FROM (
+    SELECT u, c, SUM(n) OVER (PARTITION BY u ORDER BY c DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+    FROM cnt{k}
+  ) GROUP BY 1
+),
+est{k + 1} AS MATERIALIZED (
+  SELECT e.conv_id, CAST(LEAST(e.est, h.h) AS INT) AS est
+  FROM est{k} e JOIN h{k} h ON h.u = e.conv_id
+)""")
+    ctes = ",\n".join(parts)
+    return (
+        f"{GRAPH_PREFIX},\n{ctes}\n"
+        f"SELECT conv_id, est AS core FROM est{rounds}"
+    )
+
+
+SQL_CORE_NUMBERS = _sql_core_numbers(CORE_ORACLE_ROUNDS)
+
+
+WALK_LEN = 3
+WALK_SEED = 7
+
+
+def q_random_walks(spark, sf_dir):
+    """Deterministic random-walk corpus rows (walk_id, step, conv_id):
+    every vertex starts one walk; successors picked by the portable
+    h64(seed|walk_id|step) hash against the de-skewed (shard, dst)
+    adjacency rank. Oracle: the steps UNROLLED as chained CTEs with the
+    identical md5-derived pick — value-checks the whole deterministic
+    DeepWalk-corpus path including the two-stage rank order."""
+    from unarxive_spark.operators.walks import random_walks
+
+    starts = (
+        transcripts_from_events(spark, sf_dir).select("conv_id").distinct()
+    )
+    return random_walks(
+        _edges(spark, sf_dir),
+        starts,
+        walk_length=WALK_LEN,
+        walks_per_vertex=1,
+        seed=WALK_SEED,
+    )
+
+
+def _sql_random_walks(walk_len: int, seed: int) -> str:
+    from unarxive_spark.functions.hashing import h64_sql
+    from unarxive_spark.operators.walks import N_RANK_SHARDS
+
+    parts = [
+        f"""dedges AS (
+  SELECT DISTINCT src_conv_id AS src, dst_conv_id AS dst FROM edges),
+ranked AS (
+  SELECT src, dst,
+         CAST(row_number() OVER (
+           PARTITION BY src
+           ORDER BY {h64_sql("dst")} % {N_RANK_SHARDS}, dst) - 1
+           AS BIGINT) AS rk,
+         CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+  FROM dedges
+),
+s0 AS (SELECT conv_id || '#0' AS walk_id, 0 AS step, conv_id AS cur
+       FROM verts)"""
+    ]
+    for step in range(1, walk_len + 1):
+        pick = h64_sql(f"'{seed}|' || f.walk_id || '|{step}'")
+        parts.append(f"""s{step} AS (
+  SELECT f.walk_id, {step} AS step, r.dst AS cur
+  FROM s{step - 1} f JOIN ranked r ON r.src = f.cur
+  WHERE r.rk = {pick} % r.deg
+)""")
+    ctes = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(
+        f"SELECT walk_id, step, cur AS conv_id FROM s{i}"
+        for i in range(walk_len + 1)
+    )
+    return f"{GRAPH_PREFIX},\n{ctes}\n{union}"
+
+
+SQL_RANDOM_WALKS = _sql_random_walks(WALK_LEN, WALK_SEED)
+
+
 GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_transcripts": q_transcripts,
     "q02_mine_refs": q_mine_refs,
@@ -1097,6 +1218,8 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q46_group_license_cube": q_group_license_cube,
     "q49_hits": q_hits,
     "q50_neighbor_jaccard": q_neighbor_jaccard,
+    "q51_core_numbers": q_core_numbers,
+    "q52_random_walks": q_random_walks,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
@@ -1131,4 +1254,6 @@ GRAPH_ORACLES: dict[str, str] = {
     "q46_group_license_cube": SQL_GROUP_LICENSE_CUBE,
     "q49_hits": SQL_HITS,
     "q50_neighbor_jaccard": SQL_NEIGHBOR_JACCARD,
+    "q51_core_numbers": SQL_CORE_NUMBERS,
+    "q52_random_walks": SQL_RANDOM_WALKS,
 }
