@@ -143,3 +143,14 @@ def test_prefix_filter_is_lossless(docs_with_dups):
             ).collect()
         }
         assert filtered == plain, thr
+        # positional PPJoin (per-collision overlap cap) is also lossless
+        positional = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs(
+                docs_with_dups,
+                threshold=thr,
+                prefix_filter=True,
+                positional=True,
+            ).collect()
+        }
+        assert positional == plain, thr

@@ -79,6 +79,33 @@ def test_transliterate_and_decode(spark):
     assert got[1] == "café"  # latin-1 fallback
 
 
+def test_transliterate_multi_script(spark):
+    # recorded expected table: NFD-strip + built-in Latin-extended/
+    # Greek/Cyrillic map (the reference's unidecode behavior for the
+    # scripts that appear in bibliographic join keys)
+    cases = [
+        ("Müller-Łukasiewicz", "Muller-Lukasiewicz"),
+        ("Dvořák", "Dvorak"),
+        ("Erdős", "Erdos"),
+        ("Øst-Grønland", "Ost-Gronland"),
+        ("Straße", "Strasse"),
+        ("Æsir œuvre", "AEsir oeuvre"),
+        ("Þórður Guðmundsson", "Thordur Gudmundsson"),
+        ("Гоголь", "Gogol"),
+        ("Пушкин", "Pushkin"),
+        ("Фёдор Достоевский", "Fedor Dostoevskii"),
+        ("Щедрин", "Shchedrin"),
+        ("Ψηφιακή ανάλυση", "Psephiake analuse"),
+        ("Αρχιμήδης", "Arkhimedes"),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "s string")
+    got = [
+        r["t"] for r in df.select(transliterate("s").alias("t")).collect()
+    ]
+    assert got == [c[1] for c in cases]
+
+
 def test_canonicalize_markers(spark):
     df = spark.createDataFrame(
         [("a [[conv:x1]] b conv://y2 c CONV:z3 d conv:w4",)], "s string"

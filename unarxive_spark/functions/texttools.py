@@ -167,22 +167,64 @@ def fingerprint_sql(expr: str) -> str:
     )
 
 
+# Built-in transliteration table for the common non-decomposable cases
+# the reference's unidecode handles (Latin-extended letters with no NFD
+# decomposition, Greek, Cyrillic) — applied AFTER the NFD strip, so
+# accented Cyrillic/Greek (й → и → i) also lands on ASCII.
+_TRANSLIT = {
+    # Latin extended (no combining-mark decomposition)
+    "ß": "ss", "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE",
+    "ø": "o", "Ø": "O", "đ": "d", "Đ": "D", "ð": "d", "Ð": "D",
+    "þ": "th", "Þ": "Th", "ł": "l", "Ł": "L", "ħ": "h", "Ħ": "H",
+    "ı": "i", "ŋ": "ng", "Ŋ": "NG", "ĸ": "k", "ƒ": "f",
+    # Greek
+    "α": "a", "β": "b", "γ": "g", "δ": "d", "ε": "e", "ζ": "z",
+    "η": "e", "θ": "th", "ι": "i", "κ": "k", "λ": "l", "μ": "m",
+    "ν": "n", "ξ": "x", "ο": "o", "π": "p", "ρ": "r", "σ": "s",
+    "ς": "s", "τ": "t", "υ": "u", "φ": "ph", "χ": "kh", "ψ": "ps",
+    "ω": "o",
+    "Α": "A", "Β": "B", "Γ": "G", "Δ": "D", "Ε": "E", "Ζ": "Z",
+    "Η": "E", "Θ": "Th", "Ι": "I", "Κ": "K", "Λ": "L", "Μ": "M",
+    "Ν": "N", "Ξ": "X", "Ο": "O", "Π": "P", "Ρ": "R", "Σ": "S",
+    "Τ": "T", "Υ": "U", "Φ": "Ph", "Χ": "Kh", "Ψ": "Ps", "Ω": "O",
+    # Cyrillic
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "е": "e",
+    "ё": "e", "ж": "zh", "з": "z", "и": "i", "й": "i", "к": "k",
+    "л": "l", "м": "m", "н": "n", "о": "o", "п": "p", "р": "r",
+    "с": "s", "т": "t", "у": "u", "ф": "f", "х": "kh", "ц": "ts",
+    "ч": "ch", "ш": "sh", "щ": "shch", "ъ": "", "ы": "y", "ь": "",
+    "э": "e", "ю": "iu", "я": "ia",
+    "А": "A", "Б": "B", "В": "V", "Г": "G", "Д": "D", "Е": "E",
+    "Ё": "E", "Ж": "Zh", "З": "Z", "И": "I", "Й": "I", "К": "K",
+    "Л": "L", "М": "M", "Н": "N", "О": "O", "П": "P", "Р": "R",
+    "С": "S", "Т": "T", "У": "U", "Ф": "F", "Х": "Kh", "Ц": "Ts",
+    "Ч": "Ch", "Ш": "Sh", "Щ": "Shch", "Ъ": "", "Ы": "Y", "Ь": "",
+    "Э": "E", "Ю": "Iu", "Я": "Ia",
+}
+_TRANSLIT_TABLE = str.maketrans(_TRANSLIT)
+
+
 @pandas_udf(StringType())
 def transliterate(s: pd.Series) -> pd.Series:
-    """Accent-stripping transliteration (P16 unidecode analog,
+    """Transliteration (P16 unidecode analog,
     /root/reference/src/match_references_openalex.py:214-227): NFD
-    decompose then drop combining marks. Arrow-batched pandas UDF — the
-    one transform with no JVM built-in equivalent."""
+    decompose, drop combining marks, then map the common
+    non-decomposable Latin-extended/Greek/Cyrillic letters to ASCII via
+    a built-in table (the reference uses the unidecode package; this
+    covers its behavior for the scripts that actually appear in
+    bibliographic join keys). Arrow-batched pandas UDF — the one
+    transform with no JVM built-in equivalent."""
     import unicodedata
 
     def strip(x):
         if x is None:
             return None
-        return "".join(
+        stripped = "".join(
             ch
             for ch in unicodedata.normalize("NFD", x)
             if not unicodedata.combining(ch)
         )
+        return stripped.translate(_TRANSLIT_TABLE)
 
     return s.map(strip)
 

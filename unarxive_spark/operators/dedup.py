@@ -261,6 +261,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     prefix_filter: bool = False,
     length_filter: bool = True,
+    positional: bool = False,
 ) -> DataFrame:
     """Exact Jaccard over word k-shingles for pairs sharing ≥1 shingle.
 
@@ -284,6 +285,17 @@ def ngram_jaccard_pairs(
     disappears from candidate generation entirely. Verification still
     counts shared shingles over the FULL sets.
 
+    ``positional=True`` (requires ``prefix_filter``) adds the PPJoin
+    POSITIONAL upper bound: a collision at prefix ranks (i, j) caps the
+    total overlap at ``min(i,j)-1 + 1 + min(|A|-i, |B|-j)`` (tokens
+    before the collision can overlap at most min(i,j)-1 times under the
+    shared global order; tokens after at most min-remaining). Pairs
+    where EVERY collision's cap falls below the required overlap
+    ``t·(|A|+|B|)/(1+t)`` are dropped before verification — LOSSLESS
+    (the cap is a true upper bound, so any qualifying pair passes at
+    each of its collisions), and at low thresholds it prunes the
+    many-collision candidate tail the plain prefix filter admits.
+
     Crossover: at small corpora (≤10⁴ docs) the extra df-join + rank
     window + verification join can cost more than the quadratic term
     saves; at web scale the candidate join dominates and both filters
@@ -295,11 +307,11 @@ def ngram_jaccard_pairs(
     collisions at 2^60 are ~|vocab|²/2^61, negligible and deterministic).
     """
     # The explode inflates ~|shingles/doc|×: if the input arrived in fewer
-    # partitions than cores (single small parquet file), the whole
-    # map side would run on those few cores — widen it first.
-    n_part = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n_part:
-        df = df.repartition(n_part)
+    # partitions than cores (single small parquet file), the whole map
+    # side would run on those few cores — widen it unconditionally (the
+    # old getNumPartitions() probe forced plan materialization on some
+    # lineages; AQE re-coalesces if the input was already wide).
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sh = (
         df.select(
             F.col(id_col).alias("id"),
@@ -346,11 +358,30 @@ def ngram_jaccard_pairs(
             F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
         )
         prefix = ranked.filter(F.col("_rk") <= prefix_len).select(
-            "id", "shingle", "n_sh"
+            "id", "shingle", "n_sh", "_rk"
         )
+        cond = _join_cond()
+        if positional:
+            # overlap cap at this collision ≥ required overlap, with the
+            # same multiplicative epsilon guard as the length filter
+            cap = (
+                F.least(F.col("l._rk"), F.col("r._rk"))
+                - 1
+                + F.least(
+                    F.col("l.n_sh") - F.col("l._rk"),
+                    F.col("r.n_sh") - F.col("r._rk"),
+                )
+                + 1
+            )
+            required = (
+                F.lit(threshold)
+                * (F.col("l.n_sh") + F.col("r.n_sh"))
+                / F.lit(1.0 + threshold)
+            )
+            cond = cond & (cap * F.lit(1.0 + _LEN_EPS) >= required)
         cands = (
             prefix.alias("l")
-            .join(prefix.alias("r"), _join_cond())
+            .join(prefix.alias("r"), cond)
             .select(
                 F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
             )
