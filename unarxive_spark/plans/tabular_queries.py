@@ -469,6 +469,122 @@ FROM (
 ) WHERE rank <= 5"""
 
 
+LSH_PLANES = 12
+LSH_SEED = 42
+LSH_PROBE_HAMMING = 2
+
+
+def q_lsh_ann(spark, sf_dir):
+    """Multi-probe hyperplane-LSH ANN top-5 (the similarity-search scale
+    path: query explodes into its hamming-ball probe buckets, equi-join
+    on bucket, exact cosine re-rank inside). The hyperplanes are
+    md5-derived ±1 patterns, so the ENTIRE approximate pipeline —
+    sketch bits, probe-bucket enumeration, candidate set, re-rank — is
+    reproduced bit-for-bit by the DuckDB oracle."""
+    from unarxive_spark.operators.similarity import lsh_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = lsh_ann_topk(
+        emb,
+        queries,
+        k=5,
+        n_planes=LSH_PLANES,
+        dim=64,
+        probe_hamming=LSH_PROBE_HAMMING,
+    )
+    return out.select(
+        "query_id", "id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+# the ±1 hyperplane pattern: sign from md5('seed|p|j') first 8 hex
+# digits, even → +1 (identical derivation to
+# operators.similarity.hyperplane_sketch); list(s ORDER BY j) keeps the
+# dot-product fold order identical to Spark's zip_with/aggregate.
+SQL_LSH_ANN = f"""
+WITH planes AS (
+  SELECT p.range AS p, j.range AS j,
+         CASE WHEN CAST(('0x' || substr(
+                md5('{LSH_SEED}|' || p.range || '|' || j.range), 1, 8))
+              AS BIGINT) % 2 = 0
+              THEN 1e0 ELSE -1e0 END AS s
+  FROM range({LSH_PLANES}) p, range(64) j
+),
+pvec AS (SELECT p, list(s ORDER BY j) AS svec FROM planes GROUP BY p),
+c AS (
+  SELECT vec_id AS id, embedding AS vec,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+  FROM embeddings
+  WHERE sqrt(list_sum(list_transform(embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+),
+cproj AS (
+  SELECT c.id, sv.p,
+         list_sum(list_transform(range(1, len(c.vec) + 1),
+            i -> CAST(c.vec[i] AS DOUBLE) * sv.svec[i])) AS pr
+  FROM c CROSS JOIN pvec sv
+),
+csk AS (
+  SELECT id, CAST(SUM(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << p
+                           ELSE 0 END) AS BIGINT) AS bucket
+  FROM cproj GROUP BY id
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qnorm
+  FROM embeddings WHERE vec_id < 3
+),
+qproj AS (
+  SELECT q.query_id, sv.p,
+         list_sum(list_transform(range(1, len(q.qv) + 1),
+            i -> CAST(q.qv[i] AS DOUBLE) * sv.svec[i])) AS pr
+  FROM q CROSS JOIN pvec sv
+),
+qsk AS (
+  SELECT query_id, CAST(SUM(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << p
+                                 ELSE 0 END) AS BIGINT) AS qbucket
+  FROM qproj GROUP BY query_id
+),
+masks AS (
+  SELECT CAST(0 AS BIGINT) AS m
+  UNION ALL
+  SELECT CAST(1 AS BIGINT) << a.range FROM range({LSH_PLANES}) a
+  UNION ALL
+  SELECT (CAST(1 AS BIGINT) << a.range) | (CAST(1 AS BIGINT) << b.range)
+  FROM range({LSH_PLANES}) a, range({LSH_PLANES}) b
+  WHERE a.range < b.range
+),
+probes AS (
+  SELECT s.query_id, xor(s.qbucket, masks.m) AS bucket
+  FROM qsk s CROSS JOIN masks
+),
+cands AS (
+  SELECT p.query_id, k.id
+  FROM probes p JOIN csk k ON k.bucket = p.bucket
+),
+scored AS (
+  SELECT cd.query_id, cd.id,
+         list_sum(list_transform(range(1, len(c.vec) + 1),
+             i -> CAST(c.vec[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+           / (c.norm * q.qnorm) AS cosine
+  FROM cands cd
+  JOIN c ON c.id = cd.id
+  JOIN q ON q.query_id = cd.query_id
+)
+SELECT query_id, id, round(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5"""
+
+
 def q_match_cascade(spark, sf_dir):
     """J4 flagship-join analog: fuzzy mention → document resolution via
     the 3-level key cascade + containment filter + argmax(n_chars).
@@ -754,6 +870,7 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_order_priority_check": q_order_priority_check,
     "q47_moving_avg_value": q_moving_avg_value,
     "q48_repeat_buyers": q_repeat_buyers,
+    "q53_lsh_ann": q_lsh_ann,
 }
 
 TABULAR_ORACLES: dict[str, str] = {
@@ -778,4 +895,5 @@ TABULAR_ORACLES: dict[str, str] = {
     "q45_order_priority_check": SQL_ORDER_PRIORITY_CHECK,
     "q47_moving_avg_value": SQL_MOVING_AVG_VALUE,
     "q48_repeat_buyers": SQL_REPEAT_BUYERS,
+    "q53_lsh_ann": SQL_LSH_ANN,
 }
