@@ -35,11 +35,14 @@ from unarxive_spark.session import get_spark, stop_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # Scaling-leg graph size: large enough that per-superstep COMPUTE
-# dominates the fixed serial stage/scheduling floor (~0.5-1 s/superstep)
+# dominates the fixed serial stage/scheduling floor (~1-1.5 s/superstep)
 # even at 32 cores — at 200k convs (3.6 M edges) the 32-core superstep
-# was pure floor and the 8→32 leg measured the floor, not the algorithm.
-# 400k (~7.2 M edges) keeps the full bench under the per-round budget.
-BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "400000"))
+# was pure floor, and at 400k (7.2 M edges) the floor still ate ~40% of
+# the 8-core superstep (quiet-box 2→8 read 0.68 for a plan that measures
+# 0.91 once compute dominates). 1.2M convs (~21.6 M edges) gives
+# 2-core ≈ 29 s / 8-core ≈ 7.9 s / 32-core ≈ 3.0 s supersteps — floor
+# <15% everywhere — for ~10 min of scaling legs.
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "1200000"))
 SCALE_ITERS = int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "6"))
 EDGES_PATH = os.environ.get(
     "SPARK_GRAFT_BENCH_EDGES", "/tmp/unarxive_bench_edges"

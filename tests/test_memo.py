@@ -90,3 +90,26 @@ def test_memo_unresolved_keys_stay_null(spark, tmp_path):
     # 'bad' is retried (still a miss), 'ok' is not
     memo_resolve(reqs, memo_path, partial_resolver, MEMO_SCHEMA).collect()
     assert calls == [2, 1]
+
+
+def test_memo_duplicate_rows_do_not_fan_out(spark, tmp_path):
+    # a crash between append and commit (or two concurrent callers) can
+    # land the same key twice in the memo; the read-through join must
+    # stay 1:1 with the requests (dedup on read)
+    memo_path = str(tmp_path / "memo_dup")
+    dup = spark.createDataFrame(
+        [("a", "R:a", 1.0), ("a", "R:a", 1.0), ("b", "R:b", 1.0)],
+        MEMO_SCHEMA,
+    )
+    dup.write.mode("overwrite").parquet(memo_path)
+    reqs = spark.createDataFrame([("a",), ("b",), ("a",)], "key string")
+    calls: list[int] = []
+    out = memo_resolve(
+        reqs, memo_path, _resolver_factory(calls), MEMO_SCHEMA
+    ).collect()
+    assert calls == []  # no misses — resolver never invoked
+    assert len(out) == 3  # request multiplicity, no join fan-out
+    assert {(r["key"], r["resolved_id"]) for r in out} == {
+        ("a", "R:a"),
+        ("b", "R:b"),
+    }
