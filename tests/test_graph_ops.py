@@ -122,6 +122,23 @@ def test_components_zipf(edges_small):
     assert got == components_oracle(_rows(edges_small))
 
 
+def test_components_shortcut_log_convergence(spark):
+    # 200-vertex path: plain hash-min needs ~199 supersteps (label
+    # travels one hop per round); pointer jumping doubles the travel
+    # distance each round, so 12 iterations suffice — and the labels
+    # are the identical fixpoint (component = min conv_id)
+    rows = [
+        (f"p{i:03d}", f"p{i + 1:03d}", 1.0) for i in range(199)
+    ]
+    df = spark.createDataFrame(
+        rows, "src_conv_id string, dst_conv_id string, weight double"
+    )
+    res = connected_components(df, max_iter=12, shortcut=True)
+    assert res.converged, res.iterations
+    got = {r["conv_id"]: r["component"] for r in res.components.collect()}
+    assert got == components_oracle(_rows(df))
+
+
 # ---------------- Label propagation ----------------
 
 

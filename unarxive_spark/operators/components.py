@@ -45,7 +45,17 @@ def connected_components(
     max_iter: int = 50,
     checkpoint_dir: str | None = None,
     vertices: DataFrame | None = None,
+    shortcut: bool = False,
 ) -> ComponentsResult:
+    """``shortcut=True`` adds pointer jumping each superstep
+    (label(v) ← label(label(v)), one self-join of the label table):
+    min-labels then travel doubling distances, so convergence is
+    O(log diameter) supersteps instead of O(diameter) — the variant the
+    SCC coloring uses, where adversarial long-chain graphs would
+    otherwise serialize. Off by default: on small-diameter citation
+    graphs plain hash-min converges in a handful of rounds and the
+    extra join per superstep is pure cost. The fixpoint (component =
+    min conv_id) is identical either way."""
     spark = edges.sparkSession
     ckpt = CheckpointManager(spark, checkpoint_dir)
 
@@ -80,6 +90,20 @@ def connected_components(
             .groupBy("conv_id")
             .agg(F.min("component").alias("component"))
         )
+        if shortcut:
+            # label(v) ← label(label(v)): labels are vertex ids, so the
+            # jump is an equi-join of the label table with itself; the
+            # invariant label(x) ≤ x makes the jumped label the minimum
+            new_labels = (
+                new_labels.join(
+                    new_labels.select(
+                        F.col("conv_id").alias("component"),
+                        F.col("component").alias("_jump"),
+                    ),
+                    "component",
+                )
+                .select("conv_id", F.col("_jump").alias("component"))
+            )
         # materialize once, then metric from the cheap re-scan
         new_m = ckpt.write_state(it, new_labels)
         n_changed = (

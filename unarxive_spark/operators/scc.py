@@ -175,6 +175,8 @@ def strongly_connected_components(
                 F.col("v").alias("dst_conv_id"),
             ),
             max_iter=max_hops,
+            shortcut=True,  # O(log diameter) coloring — long chains of
+            # SCCs must not serialize the round on label propagation
         )
         if not wcc.converged:
             raise RuntimeError(

@@ -207,11 +207,16 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    lloyd_iters: int = 2,
 ) -> DataFrame:
     """Approximate top-k via IVF: probe the ``n_probe`` nearest centroid
-    lists per query, exact cosine re-rank inside the probed lists."""
+    lists per query, exact cosine re-rank inside the probed lists.
+
+    ``lloyd_iters=0`` keeps the deterministic lowest-id init as the
+    centroids (no float averaging) — the cross-engine-reproducible
+    configuration the driver oracle (q54) checks bit-for-bit."""
     assigned, centroids = ivf_index(
-        emb, n_centroids, dim, id_col, vec_col
+        emb, n_centroids, dim, id_col, vec_col, lloyd_iters=lloyd_iters
     )
     probes = _query_probes(
         queries, centroids, n_probe, query_id_col, query_vec_col

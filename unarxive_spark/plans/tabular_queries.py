@@ -585,6 +585,95 @@ FROM (
 ) WHERE rank <= 5"""
 
 
+IVF_CENTROIDS = 8
+IVF_PROBE = 3
+
+
+def q_ivf_ann(spark, sf_dir):
+    """IVF ANN top-5: deterministic lowest-id centroid init
+    (lloyd_iters=0 — no float averaging, so assignment/probe/re-rank
+    are bit-for-bit reproducible), nearest-3-list probe, exact cosine
+    re-rank inside the probed inverted lists. The Lloyd-refined and
+    persisted/partition-pruned variants are pinned by
+    tests/test_similarity.py (recall + PartitionFilters plan tests)."""
+    from unarxive_spark.operators.similarity import ivf_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = ivf_ann_topk(
+        emb,
+        queries,
+        k=5,
+        n_centroids=IVF_CENTROIDS,
+        n_probe=IVF_PROBE,
+        dim=64,
+        lloyd_iters=0,
+    )
+    return out.select(
+        "query_id", "id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+SQL_IVF_ANN = f"""
+WITH c AS (
+  SELECT vec_id AS id, embedding AS vec,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+  FROM embeddings
+  WHERE sqrt(list_sum(list_transform(embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY id) AS centroid_id,
+         vec AS cvec, norm AS cnorm
+  FROM (SELECT id, vec, norm FROM c ORDER BY id LIMIT {IVF_CENTROIDS})
+),
+asg AS (
+  SELECT id, vec, norm, centroid_id FROM (
+    SELECT c.id, c.vec, c.norm, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.id ORDER BY
+             (list_sum(list_transform(range(1, len(c.vec) + 1),
+                i -> CAST(c.vec[i] AS DOUBLE) * CAST(cent.cvec[i] AS DOUBLE)))
+              / (c.norm * cent.cnorm)) DESC,
+             cent.centroid_id ASC) AS rn
+    FROM c CROSS JOIN cent
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qnorm
+  FROM embeddings WHERE vec_id < 3
+),
+probes AS (
+  SELECT query_id, qv, qnorm, centroid_id FROM (
+    SELECT q.query_id, q.qv, q.qnorm, cent.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             (list_sum(list_transform(range(1, len(q.qv) + 1),
+                i -> CAST(q.qv[i] AS DOUBLE) * CAST(cent.cvec[i] AS DOUBLE)))
+              / (q.qnorm * cent.cnorm)) DESC,
+             cent.centroid_id ASC) AS rn
+    FROM q CROSS JOIN cent
+  ) WHERE rn <= {IVF_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.id,
+         list_sum(list_transform(range(1, len(a.vec) + 1),
+             i -> CAST(a.vec[i] AS DOUBLE) * CAST(p.qv[i] AS DOUBLE)))
+           / (a.norm * p.qnorm) AS cosine
+  FROM probes p JOIN asg a USING (centroid_id)
+)
+SELECT query_id, id, round(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5"""
+
+
 def q_match_cascade(spark, sf_dir):
     """J4 flagship-join analog: fuzzy mention → document resolution via
     the 3-level key cascade + containment filter + argmax(n_chars).
@@ -871,6 +960,7 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q47_moving_avg_value": q_moving_avg_value,
     "q48_repeat_buyers": q_repeat_buyers,
     "q53_lsh_ann": q_lsh_ann,
+    "q54_ivf_ann": q_ivf_ann,
 }
 
 TABULAR_ORACLES: dict[str, str] = {
@@ -896,4 +986,5 @@ TABULAR_ORACLES: dict[str, str] = {
     "q47_moving_avg_value": SQL_MOVING_AVG_VALUE,
     "q48_repeat_buyers": SQL_REPEAT_BUYERS,
     "q53_lsh_ann": SQL_LSH_ANN,
+    "q54_ivf_ann": SQL_IVF_ANN,
 }
