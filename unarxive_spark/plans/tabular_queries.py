@@ -937,6 +937,105 @@ INTERSECT
 SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"""
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (nearest-earlier match, the reference's
+    latest-snapshot-at-or-before-date pattern re-expressed as an
+    operator): each purchase gets the user's most recent prior 'view'
+    event.  Engine: one-shuffle union + running-last window
+    (operators/asof.py); oracle: DuckDB's native ASOF LEFT JOIN.  The
+    right side is deduped to one row per (user, ts) in BOTH engines so
+    the match is tie-free."""
+    from unarxive_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    views = (
+        ev.filter("event_type = 'view'")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "ts", "value")
+    )
+    res = asof_join(
+        purchases, views, on=["user_id"], left_ts="ts", right_cols=["value"]
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("asof_ts").cast("timestamp"))
+        )
+        .cast("long")
+        .alias("wait_us"),
+        F.round("asof_value", 6).alias("view_value"),
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH v AS (
+  SELECT user_id, ts, value FROM (
+    SELECT user_id, ts, value,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id) AS rn
+    FROM events WHERE event_type = 'view'
+  ) WHERE rn = 1
+)
+SELECT p.event_id, p.user_id,
+       CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS wait_us,
+       round(v.value, 6) AS view_value
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') p
+ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts"""
+
+
+def q_range_join(spark, sf_dir):
+    """Point-in-interval range join: purchases falling inside each
+    error's 1-hour incident window, per user.  Engine: bucketized
+    equi-join candidates + exact filter (operators/rangejoin.py) — no
+    nested-loop join; oracle: DuckDB's native inequality (IE) join."""
+    from unarxive_spark.operators.rangejoin import point_in_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter("event_type = 'error'").select(
+        F.col("event_id").alias("iid"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    purchases = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("pid"), "user_id", "ts", "value"
+    )
+    hits = point_in_interval_join(
+        purchases, errors, on=["user_id"], bucket_s=1800
+    )
+    agg = hits.groupBy("iid").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("value").alias("pv"),
+    )
+    return errors.join(agg, "iid", "left").select(
+        F.col("iid").alias("event_id"),
+        "user_id",
+        F.coalesce("n_purchases", F.lit(0)).cast("long").alias("n_purchases"),
+        F.round(F.coalesce("pv", F.lit(0.0)), 6).alias("purchase_value"),
+    )
+
+
+SQL_RANGE_JOIN = """
+SELECT e.event_id, e.user_id,
+       CAST(count(p.pid) AS BIGINT) AS n_purchases,
+       round(coalesce(sum(p.value), 0e0), 6) AS purchase_value
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'error') e
+LEFT JOIN (SELECT event_id AS pid, user_id, ts, value FROM events
+           WHERE event_type = 'purchase') p
+  ON p.user_id = e.user_id
+ AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 1 HOUR
+GROUP BY 1, 2"""
+
+
 TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_pricing_summary": q_pricing_summary,
     "q21_revenue_by_nation": q_revenue_by_nation,
@@ -961,6 +1060,8 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q48_repeat_buyers": q_repeat_buyers,
     "q53_lsh_ann": q_lsh_ann,
     "q54_ivf_ann": q_ivf_ann,
+    "q55_asof_join": q_asof_join,
+    "q56_range_join": q_range_join,
 }
 
 TABULAR_ORACLES: dict[str, str] = {
@@ -987,4 +1088,6 @@ TABULAR_ORACLES: dict[str, str] = {
     "q48_repeat_buyers": SQL_REPEAT_BUYERS,
     "q53_lsh_ann": SQL_LSH_ANN,
     "q54_ivf_ann": SQL_IVF_ANN,
+    "q55_asof_join": SQL_ASOF_JOIN,
+    "q56_range_join": SQL_RANGE_JOIN,
 }
