@@ -278,3 +278,51 @@ def shingles(col: Column | str, k: int = 3) -> Column:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------
+# PII scrubbing (training-data pipeline stage; pattern parity with the
+# reference's regex-normalization idiom, normalize_arxiv_dump.py:33-40)
+# ---------------------------------------------------------------------
+
+# Deliberately RE2-safe (no backrefs/lookarounds) so the Java and DuckDB
+# engines match the exact same spans.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9][0-9\-]{6,}[0-9]"
+
+
+def pii_counts(col: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_phones) match counts, JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_mail = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), 0))
+    n_phone = F.size(
+        F.regexp_extract_all(
+            F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"),
+            F.lit(PII_PHONE_RE),
+            0,
+        )
+    )
+    return n_mail, n_phone
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails then phones with typed placeholders (email pass
+    first so address digits can't be re-matched as phones)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+
+
+def redact_pii_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`redact_pii` (global flag needed —
+    DuckDB replaces only the first match by default)."""
+    mail = f"regexp_replace({expr}, '{PII_EMAIL_RE}', '<EMAIL>', 'g')"
+    return f"regexp_replace({mail}, '{PII_PHONE_RE}', '<PHONE>', 'g')"
+
+
+def pii_counts_sql(expr: str) -> tuple[str, str]:
+    mail_scrubbed = f"regexp_replace({expr}, '{PII_EMAIL_RE}', '<EMAIL>', 'g')"
+    return (
+        f"len(regexp_extract_all({expr}, '{PII_EMAIL_RE}'))",
+        f"len(regexp_extract_all({mail_scrubbed}, '{PII_PHONE_RE}'))",
+    )

@@ -1023,6 +1023,87 @@ def q_range_join(spark, sf_dir):
     )
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition screen over documents: type-token ratio
+    + most-frequent-bigram dominance (operators/quality.py — explode →
+    partial-agg groupBy, linear and distributed)."""
+    from unarxive_spark.operators.quality import repetition_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    m = repetition_metrics(d)
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        F.round("ttr", 6).alias("ttr"),
+        "top_bigram_count",
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    )
+
+
+def _sql_repetition() -> str:
+    from unarxive_spark.operators.quality import repetition_metrics_sql
+
+    return f"""
+SELECT doc_id, n_tokens, round(ttr, 6) AS ttr, top_bigram_count,
+       round(top_bigram_frac, 6) AS top_bigram_frac
+FROM ({repetition_metrics_sql()})"""
+
+
+SQL_REPETITION = _sql_repetition()
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction stage: the synthetic corpus carries no PII, so the
+    query plants deterministic emails/phones derived from doc_id
+    (identically in both engines) and value-checks counts + the h64 of
+    the redacted text — the scrub itself is what's being oracle-checked.
+    """
+    from unarxive_spark.functions.texttools import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" now"),
+        ).alias("ptext"),
+    )
+    n_mail, n_phone = pii_counts("ptext")
+    return planted.select(
+        "doc_id",
+        n_mail.cast("long").alias("n_emails"),
+        n_phone.cast("long").alias("n_phones"),
+        h64(redact_pii("ptext")).alias("scrubbed_h64"),
+    )
+
+
+def _sql_pii_scrub() -> str:
+    from unarxive_spark.functions.texttools import (
+        pii_counts_sql,
+        redact_pii_sql,
+    )
+
+    planted = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com or call +1-555-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'"
+    )
+    mail, phone = pii_counts_sql("ptext")
+    return f"""
+SELECT doc_id,
+       CAST({mail} AS BIGINT) AS n_emails,
+       CAST({phone} AS BIGINT) AS n_phones,
+       {h64_sql(redact_pii_sql('ptext'))} AS scrubbed_h64
+FROM (SELECT doc_id, {planted} AS ptext FROM documents)"""
+
+
+SQL_PII_SCRUB = _sql_pii_scrub()
+
+
 SQL_RANGE_JOIN = """
 SELECT e.event_id, e.user_id,
        CAST(count(p.pid) AS BIGINT) AS n_purchases,
@@ -1062,6 +1143,8 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_ivf_ann": q_ivf_ann,
     "q55_asof_join": q_asof_join,
     "q56_range_join": q_range_join,
+    "q57_repetition": q_repetition,
+    "q58_pii_scrub": q_pii_scrub,
 }
 
 TABULAR_ORACLES: dict[str, str] = {
@@ -1090,4 +1173,6 @@ TABULAR_ORACLES: dict[str, str] = {
     "q54_ivf_ann": SQL_IVF_ANN,
     "q55_asof_join": SQL_ASOF_JOIN,
     "q56_range_join": SQL_RANGE_JOIN,
+    "q57_repetition": SQL_REPETITION,
+    "q58_pii_scrub": SQL_PII_SCRUB,
 }
