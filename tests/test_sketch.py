@@ -1,0 +1,51 @@
+"""FM/PCSA distinct sketch: exact python replay + accuracy envelope."""
+
+import hashlib
+
+import pytest
+
+from unarxive_spark.operators.sketch import _PHI, _RHO_CAP, distinct_sketch
+
+
+def _h64(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _oracle(keys, n_regs=64):
+    B = [0] * n_regs
+    for k in keys:
+        h = _h64(str(k))
+        reg, rest = h & (n_regs - 1), h >> (n_regs.bit_length() - 1)
+        rho = _RHO_CAP if rest == 0 else (rest & -rest).bit_length()
+        B[reg] |= 1 << (rho - 1)
+    # trailing-ones of each rank bitmap
+    R = [(~b & (b + 1)).bit_length() - 1 for b in B]
+    return 2.0 ** (sum(R) / n_regs) * n_regs / _PHI
+
+
+def test_sketch_matches_python_replay(spark):
+    rows = [(i % 3, f"k{i % 500}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "g int, key string")
+    got = {
+        r.g: r.est_distinct
+        for r in distinct_sketch(df, "key", ["g"]).collect()
+    }
+    for g in (0, 1, 2):
+        keys = {k for gg, k in rows if gg == g}
+        assert got[g] == pytest.approx(_oracle(keys), rel=1e-12), g
+
+
+def test_sketch_accuracy_envelope(spark):
+    n = 5000
+    df = spark.createDataFrame(
+        [(0, f"user-{i}") for i in range(n)], "g int, key string"
+    )
+    [row] = distinct_sketch(df, "key", ["g"]).collect()
+    # PCSA stderr ~ 0.78/sqrt(64) ≈ 10%; allow a generous 3-sigma band
+    assert n * 0.7 < row.est_distinct < n * 1.3
+
+
+def test_sketch_rejects_non_power_of_two(spark):
+    df = spark.createDataFrame([(0, "a")], "g int, key string")
+    with pytest.raises(ValueError, match="power of two"):
+        distinct_sketch(df, "key", ["g"], n_regs=48)

@@ -1,0 +1,112 @@
+"""Portable distinct-count sketch (Flajolet-Martin / PCSA).
+
+At 100 TB an exact ``count(DISTINCT key)`` per group forces a full
+shuffle of every key; the sketch reduces each partition's contribution
+to ``n_regs`` small integers that merge with ``max`` — fully map-side
+combinable, mergeable across days/snapshots, and O(groups × n_regs)
+state.  Spark's built-in ``approx_count_distinct`` is the same idea but
+its HLL++ hashing is engine-private; this operator uses the repo's
+md5-derived ``h64`` so DuckDB reproduces the estimate BIT-FOR-BIT (the
+driver oracle value-checks it, not just the row count).
+
+Per key: ``reg = h64 & (n_regs-1)`` picks a register, ``rho`` = 1-based
+position of the lowest set bit of ``h64 >> log2(n_regs)`` (geometric).
+Per (group, register): bitmap ``B_j = bit_or(1 << (rho-1))`` of SEEN
+ranks; ``R_j`` = number of trailing ones of ``B_j`` (position of the
+lowest unseen rank, isolated branch-free as ``log2(~B & (B+1))``).
+Estimate (PCSA, Flajolet & Martin 1985):
+``n_regs / 0.77351 * 2^(sum_j R_j / n_regs)`` — absent registers have
+bitmap 0 → R_j = 0, so the sum/n_regs form needs no dense left-join
+against a register dimension.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from unarxive_spark.functions.hashing import h64, h64_sql
+
+__all__ = ["distinct_sketch", "distinct_sketch_sql"]
+
+_PHI = 0.77351
+# h64 is 60 bits; after dividing by n_regs (<= 2^12) at least ~48 bits
+# remain, so an all-zero remainder is ~2^-48 — still guard it.
+_RHO_CAP = 55
+
+
+def distinct_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str],
+    n_regs: int = 64,
+) -> DataFrame:
+    """Approximate distinct ``key_col`` per ``group_cols`` →
+    ``(group_cols..., est_distinct double)``."""
+    group_cols = list(group_cols)
+    bits = int(n_regs).bit_length() - 1
+    if n_regs != 1 << bits:
+        raise ValueError(f"n_regs must be a power of two: {n_regs}")
+    h = h64(F.col(key_col).cast("string"))
+    # shift/mask keep everything in exact 64-bit integer arithmetic —
+    # h / n_regs through double division would be inexact past 2^53
+    rest = F.shiftright(h, bits)
+    # lowest-set-bit position: log2(x & -x) is exact for powers of two
+    rho = F.when(F.col("__rest") == 0, F.lit(_RHO_CAP)).otherwise(
+        (F.floor(F.log2(F.expr("__rest & -__rest"))) + F.lit(1)).cast("int")
+    )
+    regs = (
+        df.select(
+            *group_cols,
+            h.bitwiseAND(F.lit(n_regs - 1)).alias("__reg"),
+            rest.alias("__rest"),
+        )
+        .withColumn("__rho", rho)
+        .groupBy(*group_cols, "__reg")
+        .agg(
+            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), __rho - 1)"))
+            .alias("__bm")
+        )
+    )
+    # trailing-ones count of the rank bitmap = lowest unseen rank - 1;
+    # ~B & (B+1) isolates the lowest zero bit (exact power of two).
+    trail = F.floor(F.log2(F.expr("~__bm & (__bm + 1)")))
+    est = (
+        F.pow(F.lit(2.0), F.sum(trail) / F.lit(float(n_regs)))
+        * F.lit(n_regs / _PHI)
+    )
+    return regs.groupBy(*group_cols).agg(est.alias("est_distinct"))
+
+
+def distinct_sketch_sql(
+    table: str,
+    key_expr: str,
+    group_cols: Sequence[str],
+    n_regs: int = 64,
+) -> str:
+    """DuckDB rendering of :func:`distinct_sketch` (same hash, same
+    register math, same estimator)."""
+    gc = ", ".join(group_cols)
+    bits = int(n_regs).bit_length() - 1
+    if n_regs != 1 << bits:
+        raise ValueError(f"n_regs must be a power of two: {n_regs}")
+    h = h64_sql(f"CAST({key_expr} AS VARCHAR)")
+    return f"""
+WITH r AS (
+  SELECT {gc},
+         (({h}) & {n_regs - 1}) AS reg,
+         (({h}) >> {bits}) AS rest
+  FROM {table}
+), rr AS (
+  SELECT {gc}, reg,
+         bit_or(CAST(1 AS BIGINT) << (CASE WHEN rest = 0 THEN {_RHO_CAP}
+                  ELSE CAST(floor(log2(rest & -rest)) AS INT) + 1
+             END - 1)) AS bm
+  FROM r GROUP BY ALL
+)
+SELECT {gc},
+       pow(2.0, sum(floor(log2(~bm & (bm + 1)))) / {float(n_regs)})
+         * {n_regs / _PHI} AS est_distinct
+FROM rr GROUP BY ALL"""

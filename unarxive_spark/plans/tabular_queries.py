@@ -1104,6 +1104,40 @@ FROM (SELECT doc_id, {planted} AS ptext FROM documents)"""
 SQL_PII_SCRUB = _sql_pii_scrub()
 
 
+def q_distinct_sketch(spark, sf_dir):
+    """Portable Flajolet-Martin distinct sketch per event_type next to
+    the exact count (operators/sketch.py) — the estimate itself is
+    value-checked against DuckDB running the same register math."""
+    from unarxive_spark.operators.sketch import distinct_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sk = distinct_sketch(ev, "user_id", ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return exact.join(sk, "event_type").select(
+        "event_type",
+        "n_exact",
+        F.round("est_distinct", 4).alias("est_distinct"),
+    )
+
+
+def _sql_distinct_sketch() -> str:
+    from unarxive_spark.operators.sketch import distinct_sketch_sql
+
+    return f"""
+WITH sk AS ({distinct_sketch_sql("events", "user_id", ["event_type"])}),
+ex AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT ex.event_type, ex.n_exact, round(sk.est_distinct, 4) AS est_distinct
+FROM ex JOIN sk USING (event_type)"""
+
+
+SQL_DISTINCT_SKETCH = _sql_distinct_sketch()
+
+
 SQL_RANGE_JOIN = """
 SELECT e.event_id, e.user_id,
        CAST(count(p.pid) AS BIGINT) AS n_purchases,
@@ -1145,6 +1179,7 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q56_range_join": q_range_join,
     "q57_repetition": q_repetition,
     "q58_pii_scrub": q_pii_scrub,
+    "q59_distinct_sketch": q_distinct_sketch,
 }
 
 TABULAR_ORACLES: dict[str, str] = {
@@ -1175,4 +1210,5 @@ TABULAR_ORACLES: dict[str, str] = {
     "q56_range_join": SQL_RANGE_JOIN,
     "q57_repetition": SQL_REPETITION,
     "q58_pii_scrub": SQL_PII_SCRUB,
+    "q59_distinct_sketch": SQL_DISTINCT_SKETCH,
 }
