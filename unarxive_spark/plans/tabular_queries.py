@@ -1138,6 +1138,45 @@ FROM ex JOIN sk USING (event_type)"""
 SQL_DISTINCT_SKETCH = _sql_distinct_sketch()
 
 
+def q_stratified_split(spark, sf_dir):
+    """Proportional-minima stratified split (A9,
+    ml_tasks_split_data.py:155-171 semantics) driven over documents:
+    every lang stratum contributes exactly ceil(N·share) rows to each
+    held-out split; per-(lang, split) counts are the checked surface."""
+    from unarxive_spark.operators.mltasks import stratified_split_minima
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    split = stratified_split_minima(
+        d, strata_cols=("lang",), id_col="doc_id"
+    )
+    return split.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def _sql_stratified_split(train=0.8, dev=0.1, seed=42) -> str:
+    test = 1.0 - train - dev
+    key = h64_sql("concat_ws('|', '42', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH ranked AS (
+  SELECT lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {key}, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN rk <= CAST(ceil(n * {dev!r}e0) AS BIGINT) THEN 'dev'
+            WHEN rk <= CAST(ceil(n * {dev!r}e0) AS BIGINT)
+                       + CAST(ceil(n * {test!r}e0) AS BIGINT) THEN 'test'
+            ELSE 'train' END AS split,
+       CAST(count(*) AS BIGINT) AS n
+FROM ranked GROUP BY 1, 2"""
+
+
+SQL_STRATIFIED_SPLIT = _sql_stratified_split()
+
+
 SQL_RANGE_JOIN = """
 SELECT e.event_id, e.user_id,
        CAST(count(p.pid) AS BIGINT) AS n_purchases,
@@ -1180,6 +1219,7 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q57_repetition": q_repetition,
     "q58_pii_scrub": q_pii_scrub,
     "q59_distinct_sketch": q_distinct_sketch,
+    "q60_stratified_split": q_stratified_split,
 }
 
 TABULAR_ORACLES: dict[str, str] = {
@@ -1211,4 +1251,5 @@ TABULAR_ORACLES: dict[str, str] = {
     "q57_repetition": SQL_REPETITION,
     "q58_pii_scrub": SQL_PII_SCRUB,
     "q59_distinct_sketch": SQL_DISTINCT_SKETCH,
+    "q60_stratified_split": SQL_STRATIFIED_SPLIT,
 }
