@@ -1,0 +1,111 @@
+"""ANF sketches vs an exact pure-Python replay (same md5 bitmaps) and
+an accuracy envelope vs exact BFS reachability."""
+
+import hashlib
+import random
+
+from unarxive_spark.operators.anf import ANF_PHI, anf, anf_estimates
+
+SCHEMA = "src_conv_id string, dst_conv_id string"
+
+
+def _h64(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _replay(edge_rows, n_regs=8, rounds=40):
+    verts = {u for u, _ in edge_rows} | {v for _, v in edge_rows}
+    bm = {}
+    for v in verts:
+        regs = []
+        for i in range(n_regs):
+            h = _h64(f"anf{i}|{v}")
+            rho = 60 if h == 0 else (h & -h).bit_length()
+            regs.append(1 << (rho - 1))
+        bm[v] = regs
+    out = {}
+    for u, v in edge_rows:
+        out.setdefault(u, set()).add(v)
+    for _ in range(rounds):
+        new = {}
+        for v in verts:
+            regs = list(bm[v])
+            for w in out.get(v, ()):
+                for i in range(n_regs):
+                    regs[i] |= bm[w][i]
+            new[v] = regs
+        if new == bm:
+            break
+        bm = new
+    est = {}
+    for v, regs in bm.items():
+        r_sum = sum((~b & (b + 1)).bit_length() - 1 for b in regs)
+        est[v] = (r_sum, 2.0 ** (r_sum / n_regs) / ANF_PHI)
+    return est
+
+
+def _run(spark, edge_rows, **kw):
+    df = spark.createDataFrame(edge_rows, SCHEMA)
+    res = anf(df, **kw)
+    got = {
+        r.conv_id: (r.r_sum, r.est_reach)
+        for r in anf_estimates(res).collect()
+    }
+    return got, res
+
+
+def test_anf_matches_replay_on_path_and_cycle(spark):
+    path = [(f"v{i}", f"v{i+1}") for i in range(12)]
+    cycle = [(f"c{i}", f"c{(i+1) % 7}") for i in range(7)]
+    for rows in (path, cycle, path + cycle):
+        got, res = _run(spark, rows)
+        want = _replay(rows)
+        assert got.keys() == want.keys()
+        for v in want:
+            assert got[v][0] == want[v][0], (v, got[v], want[v])
+            assert abs(got[v][1] - want[v][1]) < 1e-9
+        assert res.converged
+
+
+def test_anf_matches_replay_random_graph(spark):
+    rng = random.Random(5)
+    rows = list(
+        {
+            (f"n{rng.randrange(60)}", f"n{rng.randrange(60)}")
+            for _ in range(150)
+        }
+    )
+    rows = [(u, v) for u, v in rows if u != v]
+    got, res = _run(spark, rows)
+    want = _replay(rows)
+    assert {v: g[0] for v, g in got.items()} == {
+        v: w[0] for v, w in want.items()
+    }
+    assert res.converged
+
+
+def test_anf_accuracy_envelope(spark):
+    # exact reachability on a sparse DAG-ish graph; 16 FM trials give
+    # stderr ~0.78/sqrt(16) ≈ 20%, check the AGGREGATE estimate loosely
+    rng = random.Random(11)
+    rows = list(
+        {
+            (f"d{rng.randrange(200)}", f"d{200 + rng.randrange(200)}")
+            for _ in range(600)
+        }
+    )
+    got, _ = _run(spark, rows, n_regs=16)
+    out = {}
+    for u, v in rows:
+        out.setdefault(u, set()).add(v)
+    total_exact = 0
+    for v in {x for r in rows for x in r}:
+        seen, stack = {v}, [v]
+        while stack:
+            for w in out.get(stack.pop(), ()):
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        total_exact += len(seen)
+    total_est = sum(e for _, e in got.values())
+    assert 0.5 * total_exact < total_est < 2.0 * total_exact

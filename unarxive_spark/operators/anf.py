@@ -1,0 +1,166 @@
+"""ANF / HyperBall-style neighborhood-function sketches.
+
+Approximate per-vertex reachable-set sizes (and hence effective
+diameter / closeness-type centralities) on graphs where exact
+reachability is quadratic.  Published basis: Palmer, Gibbons, Faloutsos
+"ANF" (KDD 2002) and Boldi, Rosa, Vigna "HyperBall" (2011) — each vertex
+carries a small distinct-count sketch of the set of vertices it
+reaches; one superstep ORs every vertex's sketch into its in-neighbors,
+so after t rounds vertex v sketches {u : dist(v, u) <= t}.
+
+Reference capability analog: the citation-network analyses the
+reference publishes (``/root/reference/README.md:27-31``) are exactly
+the regime where exact pairwise reachability is impossible at 100 TB.
+
+Spark-first shape (north rule — same skeleton as PageRank/WCC):
+- ``n_regs`` independent Flajolet-Martin trials per vertex, one 64-bit
+  rank bitmap per trial, stored as ``n_regs`` LONG COLUMNS (r0..r{k-1})
+  — so the superstep merge is a plain ``groupBy(conv_id).agg(bit_or)``
+  per column: associative, map-side combinable, no arrays to explode.
+- Per superstep: ONE join (adjacency cached co-partitioned on the pull
+  side, only the sketch table shuffles) + ONE bit_or aggregation;
+  state materialized once via CheckpointManager, metrics from the
+  re-scan.
+- Convergence metric is the TOTAL POPCOUNT of all bitmaps (strictly
+  monotone until fixpoint).  Trailing-ones totals would NOT work: a new
+  rank bit above a register's lowest-zero does not move its estimator.
+- Hashing is the repo's portable md5-h64, so a DuckDB unrolled-CTE
+  oracle and a pure-Python replay reproduce every bitmap bit-for-bit.
+
+Estimator per vertex (Flajolet-Martin 1985, multi-trial):
+``2^(mean_i R_i) / 0.77351`` with ``R_i`` = trailing-ones of bitmap i
+(the reachable-set size INCLUDES the vertex itself — its own rank bit
+is set at init).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from unarxive_spark.functions.hashing import h64
+from unarxive_spark.sources.checkpoint import CheckpointManager
+
+__all__ = ["anf", "ANFResult", "anf_estimates", "ANF_PHI"]
+
+ANF_PHI = 0.77351
+
+
+@dataclass
+class ANFResult:
+    sketches: DataFrame  # conv_id, r0..r{n_regs-1} (long bitmaps)
+    iterations: int
+    converged: bool
+    n_regs: int
+
+
+def _init_bitmap(i: int) -> F.Column:
+    """Rank bitmap seeding register i: bit (rho-1) where rho is the
+    1-based lowest-set-bit position of h64 (geometric)."""
+    h = h64(F.col("conv_id"), salt=f"anf{i}|")
+    lowbit = h.bitwiseAND(-h)
+    rho = F.when(h == 0, F.lit(60)).otherwise(
+        (F.floor(F.log2(lowbit)) + F.lit(1)).cast("int")
+    )
+    return F.expr(f"shiftleft(CAST(1 AS BIGINT), __rho{i} - 1)"), rho
+
+
+def trailing_ones(col: str) -> F.Column:
+    """# trailing one-bits: ~b & (b+1) isolates the lowest zero bit
+    (always an exact power of two, log2 exact)."""
+    return F.floor(F.log2(F.expr(f"~{col} & ({col} + 1)"))).cast("int")
+
+
+def anf(
+    edges: DataFrame,
+    src: str = "src_conv_id",
+    dst: str = "dst_conv_id",
+    n_regs: int = 8,
+    max_iter: int = 30,
+    checkpoint_dir: str | None = None,
+) -> ANFResult:
+    """Forward-reachability sketches: after convergence vertex v's
+    bitmaps sketch ``{u : v reaches u via directed edges}`` (v incl.)."""
+    spark = edges.sparkSession
+    ckpt = CheckpointManager(spark, checkpoint_dir)
+    reg_cols = [f"r{i}" for i in range(n_regs)]
+
+    verts = (
+        edges.select(F.col(src).alias("conv_id"))
+        .unionByName(edges.select(F.col(dst).alias("conv_id")))
+        .distinct()
+    )
+    # sketches are pulled from dst into src → co-partition the cached
+    # adjacency on the join key (v); only the state shuffles per round
+    adj = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .repartition("v")
+        .cache()
+    )
+    adj.count()
+
+    rho_cols, bm_exprs = [], []
+    for i in range(n_regs):
+        bm, rho = _init_bitmap(i)
+        rho_cols.append(rho.alias(f"__rho{i}"))
+        bm_exprs.append(bm)
+    state = verts.select("conv_id", *rho_cols).select(
+        "conv_id",
+        *[bm_exprs[i].alias(reg_cols[i]) for i in range(n_regs)],
+    )
+
+    popcount = None
+    prev_pop = -1
+    converged = False
+    it = 0
+    for it in range(max_iter):
+        pulled = adj.join(
+            state.withColumnRenamed("conv_id", "v"), "v"
+        ).select(F.col("u").alias("conv_id"), *reg_cols)
+        new_state = (
+            state.unionByName(pulled)
+            .groupBy("conv_id")
+            .agg(*[F.bit_or(c).alias(c) for c in reg_cols])
+        )
+        new_m = ckpt.write_state(it, new_state)
+        popcount = new_m.agg(
+            F.sum(
+                sum(
+                    (F.bit_count(F.col(c)) for c in reg_cols),
+                    start=F.lit(0),
+                )
+            ).alias("p")
+        ).collect()[0]["p"]
+        ckpt.log_lineage(it, new_m, "total_popcount", float(popcount))
+        state = new_m
+        if popcount == prev_pop:
+            converged = True
+            break
+        prev_pop = popcount
+    return ANFResult(
+        sketches=state, iterations=it + 1, converged=converged, n_regs=n_regs
+    )
+
+
+def anf_estimates(res: ANFResult) -> DataFrame:
+    """Per-vertex reachable-set estimate: ``(conv_id, r_sum, est_reach)``
+    — ``r_sum`` (sum of trailing-ones) is exact-integer comparable;
+    ``est_reach`` = 2^(r_sum/n_regs) / phi."""
+    reg_cols = [f"r{i}" for i in range(res.n_regs)]
+    r_sum = sum(
+        (trailing_ones(c) for c in reg_cols), start=F.lit(0)
+    ).cast("long")
+    return res.sketches.select(
+        "conv_id",
+        r_sum.alias("r_sum"),
+    ).select(
+        "conv_id",
+        "r_sum",
+        (
+            F.pow(F.lit(2.0), F.col("r_sum") / F.lit(float(res.n_regs)))
+            / F.lit(ANF_PHI)
+        ).alias("est_reach"),
+    )

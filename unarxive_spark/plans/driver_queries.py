@@ -1186,6 +1186,84 @@ s0 AS (SELECT conv_id || '#0' AS walk_id, 0 AS step, conv_id AS cur
 SQL_RANDOM_WALKS = _sql_random_walks(WALK_LEN, WALK_SEED)
 
 
+ANF_REGS = 8
+# oracle superstep unroll; the sketch fixpoint is monotone, so extra
+# rounds past convergence are no-ops — keep >= the graph's diameter
+# bound (BFS/SSSP use 10/20 on the same derived graph)
+ANF_ORACLE_ROUNDS = 20
+
+
+def q_anf(spark, sf_dir):
+    """ANF/HyperBall reachable-set sketches (operators/anf.py):
+    per-vertex FM rank bitmaps OR-propagated along out-edges to the
+    fixpoint. r_sum (sum of trailing-ones) is exact-integer checked;
+    est_reach is the FM estimate. Oracle: the supersteps UNROLLED as
+    MATERIALIZED CTEs running the identical md5 bitmap math."""
+    from unarxive_spark.operators.anf import anf, anf_estimates
+
+    res = anf(
+        _edges(spark, sf_dir), n_regs=ANF_REGS, max_iter=ANF_ORACLE_ROUNDS
+    )
+    return anf_estimates(res).select(
+        "conv_id",
+        "r_sum",
+        F.round("est_reach", 6).alias("est_reach"),
+    )
+
+
+def _sql_anf(rounds: int, n_regs: int) -> str:
+    from unarxive_spark.functions.hashing import h64_sql
+
+    regs = [f"r{i}" for i in range(n_regs)]
+    init_cols = []
+    for i in range(n_regs):
+        h = h64_sql("conv_id", salt=f"anf{i}|")
+        rho = (
+            f"(CASE WHEN ({h}) = 0 THEN 60 "
+            f"ELSE CAST(floor(log2(({h}) & -({h}))) AS INT) + 1 END)"
+        )
+        init_cols.append(f"(CAST(1 AS BIGINT) << ({rho} - 1)) AS r{i}")
+    reg_list = ", ".join(regs)
+    bit_ors = ", ".join(f"bit_or({c}) AS {c}" for c in regs)
+    s_regs = ", ".join(f"s.{c}" for c in regs)
+    parts = [
+        """averts AS MATERIALIZED (
+  SELECT DISTINCT conv_id FROM (
+    SELECT src_conv_id AS conv_id FROM edges
+    UNION ALL
+    SELECT dst_conv_id FROM edges
+  )
+)""",
+        "s0 AS MATERIALIZED (SELECT conv_id,\n  "
+        + ",\n  ".join(init_cols)
+        + "\nFROM averts)",
+    ]
+    for k in range(rounds):
+        parts.append(f"""s{k + 1} AS MATERIALIZED (
+  SELECT conv_id, {bit_ors}
+  FROM (
+    SELECT conv_id, {reg_list} FROM s{k}
+    UNION ALL
+    SELECT e.src_conv_id AS conv_id, {s_regs}
+    FROM edges e JOIN s{k} s ON s.conv_id = e.dst_conv_id
+  ) GROUP BY 1
+)""")
+    trail = " + ".join(
+        f"CAST(floor(log2((~{c}) & ({c} + 1))) AS INT)" for c in regs
+    )
+    ctes = ",\n".join(parts)
+    return f"""{GRAPH_PREFIX},
+{ctes}
+SELECT conv_id,
+       CAST({trail} AS BIGINT) AS r_sum,
+       round(pow(2.0, CAST({trail} AS BIGINT) / {float(n_regs)})
+             / 0.77351, 6) AS est_reach
+FROM s{rounds}"""
+
+
+SQL_ANF = _sql_anf(ANF_ORACLE_ROUNDS, ANF_REGS)
+
+
 GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_transcripts": q_transcripts,
     "q02_mine_refs": q_mine_refs,
@@ -1220,6 +1298,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q50_neighbor_jaccard": q_neighbor_jaccard,
     "q51_core_numbers": q_core_numbers,
     "q52_random_walks": q_random_walks,
+    "q61_anf": q_anf,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
@@ -1256,4 +1335,5 @@ GRAPH_ORACLES: dict[str, str] = {
     "q50_neighbor_jaccard": SQL_NEIGHBOR_JACCARD,
     "q51_core_numbers": SQL_CORE_NUMBERS,
     "q52_random_walks": SQL_RANDOM_WALKS,
+    "q61_anf": SQL_ANF,
 }
