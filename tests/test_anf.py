@@ -109,3 +109,23 @@ def test_anf_accuracy_envelope(spark):
         total_exact += len(seen)
     total_est = sum(e for _, e in got.values())
     assert 0.5 * total_exact < total_est < 2.0 * total_exact
+
+
+def test_effective_diameter_on_path(spark):
+    from unarxive_spark.operators.anf import effective_diameter
+
+    # directed path v0→…→v9: true effective diameter grows with length;
+    # on a cycle every vertex reaches all others by t = n-1
+    path = [(f"v{i}", f"v{i+1}") for i in range(9)]
+    _, res = _run(spark, path)
+    assert res.neighborhood is not None and len(res.neighborhood) >= 2
+    # N(t) is non-decreasing and the last two rounds agree (fixpoint)
+    nf = res.neighborhood
+    assert all(b >= a - 1e-9 for a, b in zip(nf, nf[1:]))
+    assert nf[-1] == nf[-2]
+    d = effective_diameter(res)
+    assert 1.0 <= d <= res.iterations
+    # a star (all→hub) saturates in one round: diameter estimate ~1
+    star = [(f"s{i}", "hub") for i in range(1, 20)]
+    _, res_star = _run(spark, star)
+    assert effective_diameter(res_star) <= 2.0

@@ -43,7 +43,13 @@ from pyspark.sql import functions as F
 from unarxive_spark.functions.hashing import h64
 from unarxive_spark.sources.checkpoint import CheckpointManager
 
-__all__ = ["anf", "ANFResult", "anf_estimates", "ANF_PHI"]
+__all__ = [
+    "anf",
+    "ANFResult",
+    "anf_estimates",
+    "effective_diameter",
+    "ANF_PHI",
+]
 
 ANF_PHI = 0.77351
 
@@ -54,6 +60,9 @@ class ANFResult:
     iterations: int
     converged: bool
     n_regs: int
+    # N(t): estimated # of (v, u) pairs with dist <= t, t = 1..iterations
+    # (N(0) = |V| by construction); driver-side list, one float per round
+    neighborhood: list[float] | None = None
 
 
 def _init_bitmap(i: int) -> F.Column:
@@ -112,6 +121,16 @@ def anf(
         *[bm_exprs[i].alias(reg_cols[i]) for i in range(n_regs)],
     )
 
+    def _est_pairs(df) -> float:
+        r_sum = sum(
+            (trailing_ones(c) for c in reg_cols), start=F.lit(0)
+        )
+        est = F.pow(
+            F.lit(2.0), r_sum.cast("double") / F.lit(float(n_regs))
+        ) / F.lit(ANF_PHI)
+        return df.agg(F.sum(est).alias("s")).collect()[0]["s"]
+
+    neighborhood: list[float] = []
     popcount = None
     prev_pop = -1
     converged = False
@@ -126,6 +145,7 @@ def anf(
             .agg(*[F.bit_or(c).alias(c) for c in reg_cols])
         )
         new_m = ckpt.write_state(it, new_state)
+        # both metrics come from the single materialized re-scan
         popcount = new_m.agg(
             F.sum(
                 sum(
@@ -134,6 +154,7 @@ def anf(
                 )
             ).alias("p")
         ).collect()[0]["p"]
+        neighborhood.append(_est_pairs(new_m))
         ckpt.log_lineage(it, new_m, "total_popcount", float(popcount))
         state = new_m
         if popcount == prev_pop:
@@ -141,7 +162,11 @@ def anf(
             break
         prev_pop = popcount
     return ANFResult(
-        sketches=state, iterations=it + 1, converged=converged, n_regs=n_regs
+        sketches=state,
+        iterations=it + 1,
+        converged=converged,
+        n_regs=n_regs,
+        neighborhood=neighborhood,
     )
 
 
@@ -164,3 +189,20 @@ def anf_estimates(res: ANFResult) -> DataFrame:
             / F.lit(ANF_PHI)
         ).alias("est_reach"),
     )
+
+
+def effective_diameter(res: ANFResult, q: float = 0.9) -> float:
+    """HyperBall-convention effective diameter: the (interpolated)
+    smallest t such that N(t) >= q * N(infinity), computed from the
+    per-superstep neighborhood function recorded during the run."""
+    nf = res.neighborhood
+    if not nf:
+        raise ValueError("anf() recorded no neighborhood function")
+    target = q * nf[-1]
+    for t, n_t in enumerate(nf, start=1):
+        if n_t >= target:
+            prev = nf[t - 2] if t >= 2 else 0.0
+            if n_t == prev:
+                return float(t)
+            return (t - 1) + (target - prev) / (n_t - prev)
+    return float(len(nf))
