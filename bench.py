@@ -102,6 +102,29 @@ def headline_queries(spark) -> dict[str, float]:
     return times
 
 
+def extended_queries(spark) -> dict[str, float]:
+    """Round-3 operator additions, timed OUTSIDE the headline sum so the
+    headline metric stays comparable across rounds."""
+    from unarxive_spark.plans.driver_queries import q_anf
+    from unarxive_spark.plans.tabular_queries import (
+        q_asof_join,
+        q_distinct_sketch,
+        q_range_join,
+        q_repetition,
+    )
+
+    times: dict[str, float] = {}
+    for name, q in (
+        ("asof_join", q_asof_join),
+        ("range_join", q_range_join),
+        ("repetition", q_repetition),
+        ("distinct_sketch", q_distinct_sketch),
+        ("anf", q_anf),
+    ):
+        _, times[name] = _timed(lambda q=q: q(spark, SF_DIR).count())
+    return times
+
+
 TRANSCRIPTS_PATH = os.environ.get(
     "SPARK_GRAFT_BENCH_TRANSCRIPTS", "/tmp/unarxive_bench_transcripts"
 )
@@ -223,6 +246,7 @@ def main() -> None:
         master=f"local[{CPUS}]", app_name="bench", shuffle_partitions=CPUS
     )
     times = headline_queries(spark)
+    ext = extended_queries(spark)
     stop_spark()
 
     n_edges, n_turns = prep_scaling_edges()
@@ -247,6 +271,7 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in times.items()},
+        "extended_queries": {k: round(v, 3) for k, v in ext.items()},
         "sf": float(sf),
         "scaling": {
             "job": f"PageRank {SCALE_ITERS - 1} warm supersteps, "

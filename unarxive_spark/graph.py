@@ -125,6 +125,13 @@ class LinkGraph:
 
         return core_numbers(self.edges, **kw)
 
+    def anf(self, **kw):
+        """Reachable-set sketches (ANF/HyperBall); pair with
+        ``anf_estimates`` / ``effective_diameter`` from operators.anf."""
+        from unarxive_spark.operators.anf import anf
+
+        return anf(self.edges, **kw)
+
     def co_citation(self, **kw) -> DataFrame:
         from unarxive_spark.operators.cocitation import co_citation
 
