@@ -8,9 +8,10 @@ carries a small distinct-count sketch of the set of vertices it
 reaches; one superstep ORs every vertex's sketch into its in-neighbors,
 so after t rounds vertex v sketches {u : dist(v, u) <= t}.
 
-Reference capability analog: the citation-network analyses the
-reference publishes (``/root/reference/README.md:27-31``) are exactly
-the regime where exact pairwise reachability is impossible at 100 TB.
+Reference capability analog: the reference publishes citation-network
+scale stats (``/root/reference/README.md:27-31``: 63 M references /
+28 M linked); reachability analyses over a graph that size are exactly
+the regime where exact pairwise computation is impossible.
 
 Spark-first shape (north rule — same skeleton as PageRank/WCC):
 - ``n_regs`` independent Flajolet-Martin trials per vertex, one 64-bit

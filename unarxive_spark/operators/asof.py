@@ -1,11 +1,13 @@
 """Distributed as-of join (nearest-earlier / nearest-later match).
 
-Reference capability analog: the reference repeatedly attaches "the
-metadata row that was current when this paper version appeared" — e.g.
-``/root/reference/src/prepare.py`` walks monthly snapshots and keeps the
-latest entry at-or-before each paper's date.  Relationally that is an
-AS-OF join, an operator Spark has no built-in for (a naive translation
-is a non-equi join → BroadcastNestedLoopJoin → dead at scale).
+Task-brief engine addition (the brief's named custom-operator example:
+"as-of join"): attach to each fact row the dimension row that was
+current at its timestamp — e.g. the metadata snapshot in force when a
+paper version appeared, or the last page view before a purchase.  The
+reference has no temporal joins (its lookups are exact-key sqlite
+hits, ``match_references_openalex.py``); at 100 TB the pattern is
+unavoidable and Spark has no built-in for it (a naive translation is a
+non-equi join → BroadcastNestedLoopJoin → dead at scale).
 
 Spark-first plan (no inequality join, no broadcast of the big side):
 

@@ -1,10 +1,11 @@
 """Distributed range join: points into half-open time intervals.
 
-Reference capability analog: the reference's per-month slicing of the
-citation stream (``/root/reference/src/prepare.py`` groups papers into
-the snapshot window they fall in) is a point-in-interval join.  A naive
-Spark translation (``p.ts >= i.start AND p.ts < i.end`` with no
-equality) plans as BroadcastNestedLoopJoin — quadratic, dead at scale.
+Task-brief engine addition (the brief's named custom-operator example:
+"range join"): join point events into the time intervals that contain
+them (incident windows, validity ranges, session bounds).  The
+reference has no interval joins; a naive Spark translation
+(``p.ts >= i.start AND p.ts < i.end`` with no equality) plans as
+BroadcastNestedLoopJoin — quadratic, dead at scale.
 
 Spark-first plan (candidate-generation-by-key-equality, same discipline
 as the dedup/ANN paths in this repo):

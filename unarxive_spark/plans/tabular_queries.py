@@ -938,10 +938,8 @@ SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"""
 
 
 def q_asof_join(spark, sf_dir):
-    """As-of join (nearest-earlier match, the reference's
-    latest-snapshot-at-or-before-date pattern re-expressed as an
-    operator): each purchase gets the user's most recent prior 'view'
-    event.  Engine: one-shuffle union + running-last window
+    """As-of join (nearest-earlier match; task-brief custom operator):
+    each purchase gets the user's most recent prior 'view' event.  Engine: one-shuffle union + running-last window
     (operators/asof.py); oracle: DuckDB's native ASOF LEFT JOIN.  The
     right side is deduped to one row per (user, ts) in BOTH engines so
     the match is tie-free."""
