@@ -122,14 +122,11 @@ def anf(
         *[bm_exprs[i].alias(reg_cols[i]) for i in range(n_regs)],
     )
 
-    def _est_pairs(df) -> float:
-        r_sum = sum(
-            (trailing_ones(c) for c in reg_cols), start=F.lit(0)
-        )
-        est = F.pow(
-            F.lit(2.0), r_sum.cast("double") / F.lit(float(n_regs))
-        ) / F.lit(ANF_PHI)
-        return df.agg(F.sum(est).alias("s")).collect()[0]["s"]
+    r_sum = sum((trailing_ones(c) for c in reg_cols), start=F.lit(0))
+    est_pairs = F.pow(
+        F.lit(2.0), r_sum.cast("double") / F.lit(float(n_regs))
+    ) / F.lit(ANF_PHI)
+    pop = sum((F.bit_count(F.col(c)) for c in reg_cols), start=F.lit(0))
 
     neighborhood: list[float] = []
     popcount = None
@@ -146,16 +143,13 @@ def anf(
             .agg(*[F.bit_or(c).alias(c) for c in reg_cols])
         )
         new_m = ckpt.write_state(it, new_state)
-        # both metrics come from the single materialized re-scan
-        popcount = new_m.agg(
-            F.sum(
-                sum(
-                    (F.bit_count(F.col(c)) for c in reg_cols),
-                    start=F.lit(0),
-                )
-            ).alias("p")
-        ).collect()[0]["p"]
-        neighborhood.append(_est_pairs(new_m))
+        # ONE action per superstep: both metrics from the same aggregate
+        # over the materialized re-scan
+        row = new_m.agg(
+            F.sum(pop).alias("p"), F.sum(est_pairs).alias("s")
+        ).collect()[0]
+        popcount = row["p"]
+        neighborhood.append(row["s"])
         ckpt.log_lineage(it, new_m, "total_popcount", float(popcount))
         state = new_m
         if popcount == prev_pop:
