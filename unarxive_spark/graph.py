@@ -125,6 +125,11 @@ class LinkGraph:
 
         return core_numbers(self.edges, **kw)
 
+    def k_truss(self, k: int, **kw) -> DataFrame:
+        from unarxive_spark.operators.ktruss import k_truss
+
+        return k_truss(self.edges, k, **kw)
+
     def anf(self, **kw):
         """Reachable-set sketches (ANF/HyperBall); pair with
         ``anf_estimates`` / ``effective_diameter`` from operators.anf."""

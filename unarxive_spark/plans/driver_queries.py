@@ -1264,6 +1264,55 @@ FROM s{rounds}"""
 SQL_ANF = _sql_anf(ANF_ORACLE_ROUNDS, ANF_REGS)
 
 
+KTRUSS_K = 3
+# peel fixpoint is monotone-decreasing; extra unrolled rounds are no-ops
+KTRUSS_ORACLE_ROUNDS = 8
+
+
+def q_ktruss(spark, sf_dir):
+    """k-truss surviving edges (operators/ktruss.py): iterative peel on
+    per-edge triangle support, degree-ordered enumeration per round.
+    Oracle: the peel rounds UNROLLED as MATERIALIZED CTEs with a naive
+    wedge-join support count (enumeration order doesn't change
+    supports)."""
+    from unarxive_spark.operators.ktruss import k_truss
+
+    return k_truss(_edges(spark, sf_dir), KTRUSS_K)
+
+
+def _sql_ktruss(k: int, rounds: int) -> str:
+    parts = [
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src_conv_id, dst_conv_id) AS a,
+                  greatest(src_conv_id, dst_conv_id) AS b
+  FROM edges WHERE src_conv_id != dst_conv_id
+)"""
+    ]
+    for r in range(rounds):
+        parts.append(f"""und{r} AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM e{r}
+  UNION ALL
+  SELECT b, a FROM e{r}
+),
+cnt{r} AS (
+  SELECT e.a, e.b, count(*) AS sup
+  FROM e{r} e
+  JOIN und{r} n1 ON n1.u = e.a
+  JOIN und{r} n2 ON n2.u = e.b AND n2.v = n1.v
+  GROUP BY 1, 2
+),
+e{r + 1} AS MATERIALIZED (
+  SELECT e.a, e.b
+  FROM e{r} e JOIN cnt{r} c ON c.a = e.a AND c.b = e.b
+  WHERE c.sup >= {k - 2}
+)""")
+    ctes = ",\n".join(parts)
+    return f"{GRAPH_PREFIX},\n{ctes}\nSELECT a, b FROM e{rounds}"
+
+
+SQL_KTRUSS = _sql_ktruss(KTRUSS_K, KTRUSS_ORACLE_ROUNDS)
+
+
 GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_transcripts": q_transcripts,
     "q02_mine_refs": q_mine_refs,
@@ -1299,6 +1348,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q51_core_numbers": q_core_numbers,
     "q52_random_walks": q_random_walks,
     "q61_anf": q_anf,
+    "q62_ktruss": q_ktruss,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
@@ -1336,4 +1386,5 @@ GRAPH_ORACLES: dict[str, str] = {
     "q51_core_numbers": SQL_CORE_NUMBERS,
     "q52_random_walks": SQL_RANDOM_WALKS,
     "q61_anf": SQL_ANF,
+    "q62_ktruss": SQL_KTRUSS,
 }
