@@ -15,6 +15,8 @@ Commands mirror the reference's entry points (SURVEY.md §3):
   lpa          label propagation
   triangles    triangle count
   vertices     reporting-layer vertex attribute table
+  ktruss       k-truss edge-cohesion peel
+  anf          ANF/HyperBall reachable-set estimates
   synth        generate the deterministic synthetic transcripts table
 
 All IO is parquet directories (Iceberg tables on a real deployment —
@@ -43,7 +45,10 @@ def main(argv: list[str] | None = None) -> None:
     m.add_argument("--out", required=True)
     m.add_argument("--no-resolve", action="store_true")
 
-    for name in ("pagerank", "components", "lpa", "triangles", "vertices"):
+    for name in (
+        "pagerank", "components", "lpa", "triangles", "vertices",
+        "ktruss", "anf",
+    ):
         g = sub.add_parser(name)
         g.add_argument("--edges" if name != "vertices" else "--transcripts",
                        required=True)
@@ -57,6 +62,13 @@ def main(argv: list[str] | None = None) -> None:
             g.add_argument("--checkpoint-dir", default=None)
         if name == "lpa":
             g.add_argument("--n-iter", type=int, default=5)
+        if name == "ktruss":
+            g.add_argument("--k", type=int, default=3)
+            g.add_argument("--checkpoint-dir", default=None)
+        if name == "anf":
+            g.add_argument("--n-regs", type=int, default=8)
+            g.add_argument("--max-iter", type=int, default=30)
+            g.add_argument("--checkpoint-dir", default=None)
 
     args = p.parse_args(argv)
 
@@ -115,6 +127,27 @@ def main(argv: list[str] | None = None) -> None:
 
         e = spark.read.parquet(args.edges)
         triangles_per_vertex(e).write.mode("overwrite").parquet(args.out)
+    elif args.cmd == "ktruss":
+        from unarxive_spark.operators.ktruss import k_truss
+
+        e = spark.read.parquet(args.edges)
+        k_truss(
+            e, args.k, checkpoint_dir=args.checkpoint_dir
+        ).write.mode("overwrite").parquet(args.out)
+    elif args.cmd == "anf":
+        from unarxive_spark.operators.anf import anf, anf_estimates
+
+        e = spark.read.parquet(args.edges)
+        res = anf(
+            e,
+            n_regs=args.n_regs,
+            max_iter=args.max_iter,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+        anf_estimates(res).write.mode("overwrite").parquet(args.out)
+        print(
+            f"anf: iterations={res.iterations} converged={res.converged}"
+        )
     elif args.cmd == "vertices":
         from unarxive_spark.operators.stats import build_vertices
 
