@@ -43,6 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # q09 ⊂ q37 full cube, q11 ⊂ q38 per-day series).
 _DEFER_LAST = (
     "q62_ktruss",
+    "q63_mis",
     "q51_core_numbers",
     "q52_random_walks",
     "q12_role_histogram",

@@ -125,6 +125,11 @@ class LinkGraph:
 
         return core_numbers(self.edges, **kw)
 
+    def maximal_independent_set(self, **kw) -> DataFrame:
+        from unarxive_spark.operators.mis import maximal_independent_set
+
+        return maximal_independent_set(self.edges, **kw)
+
     def k_truss(self, k: int, **kw) -> DataFrame:
         from unarxive_spark.operators.ktruss import k_truss
 

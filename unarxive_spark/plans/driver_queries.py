@@ -1313,6 +1313,73 @@ e{r + 1} AS MATERIALIZED (
 SQL_KTRUSS = _sql_ktruss(KTRUSS_K, KTRUSS_ORACLE_ROUNDS)
 
 
+# winner-removal fixpoint is monotone; extra unrolled rounds are no-ops
+MIS_ORACLE_ROUNDS = 8
+
+
+def q_mis(spark, sf_dir):
+    """Deterministic Luby MIS (operators/mis.py): fixed md5-h64
+    priorities, local-minima winner rounds. Oracle: the rounds UNROLLED
+    as MATERIALIZED CTEs with the identical printf('%015x') sortable
+    priority string."""
+    from unarxive_spark.operators.mis import maximal_independent_set
+
+    return maximal_independent_set(_edges(spark, sf_dir))
+
+
+def _sql_mis(rounds: int, salt: str = "mis|") -> str:
+    from unarxive_spark.functions.hashing import h64_sql
+
+    h = h64_sql("conv_id", salt=salt)
+    prio = f"printf('%015x', {h}) || '|' || conv_id"
+    parts = [
+        """mund AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT src_conv_id AS u, dst_conv_id AS v FROM edges
+    UNION ALL
+    SELECT dst_conv_id, src_conv_id FROM edges
+  ) WHERE u != v
+),
+live0 AS MATERIALIZED (
+  SELECT DISTINCT conv_id FROM (
+    SELECT src_conv_id AS conv_id FROM edges
+    UNION ALL
+    SELECT dst_conv_id FROM edges
+  )
+)"""
+    ]
+    for r in range(rounds):
+        parts.append(f"""lp{r} AS MATERIALIZED (
+  SELECT conv_id, {prio} AS p FROM live{r}
+),
+nmin{r} AS (
+  SELECT e.v AS conv_id, min(l.p) AS nm
+  FROM mund e
+  JOIN lp{r} l ON l.conv_id = e.u
+  JOIN lp{r} x ON x.conv_id = e.v
+  GROUP BY 1
+),
+win{r} AS MATERIALIZED (
+  SELECT l.conv_id FROM lp{r} l
+  LEFT JOIN nmin{r} n USING (conv_id)
+  WHERE n.nm IS NULL OR l.p < n.nm
+),
+live{r + 1} AS MATERIALIZED (
+  SELECT conv_id FROM live{r}
+  WHERE conv_id NOT IN (SELECT conv_id FROM win{r})
+    AND conv_id NOT IN (SELECT e.v FROM mund e
+                        JOIN win{r} w ON w.conv_id = e.u)
+)""")
+    union = "\nUNION\n".join(
+        f"SELECT conv_id FROM win{r}" for r in range(rounds)
+    )
+    ctes = ",\n".join(parts)
+    return f"{GRAPH_PREFIX},\n{ctes}\n{union}"
+
+
+SQL_MIS = _sql_mis(MIS_ORACLE_ROUNDS)
+
+
 GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_transcripts": q_transcripts,
     "q02_mine_refs": q_mine_refs,
@@ -1349,6 +1416,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_random_walks": q_random_walks,
     "q61_anf": q_anf,
     "q62_ktruss": q_ktruss,
+    "q63_mis": q_mis,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
@@ -1387,4 +1455,5 @@ GRAPH_ORACLES: dict[str, str] = {
     "q52_random_walks": SQL_RANDOM_WALKS,
     "q61_anf": SQL_ANF,
     "q62_ktruss": SQL_KTRUSS,
+    "q63_mis": SQL_MIS,
 }
