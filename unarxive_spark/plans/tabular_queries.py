@@ -1175,6 +1175,28 @@ FROM ranked GROUP BY 1, 2"""
 SQL_STRATIFIED_SPLIT = _sql_stratified_split()
 
 
+def q_value_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles per group (the agg-surface item the
+    A1-A10 inventory lacks; both engines use linear interpolation, so
+    the values match to rounding)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("round(percentile(value, 0.5), 6)").alias("p50"),
+        F.expr("round(percentile(value, 0.9), 6)").alias("p90"),
+        F.expr("round(percentile(value, 0.99), 6)").alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_VALUE_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1"""
+
+
 SQL_RANGE_JOIN = """
 SELECT e.event_id, e.user_id,
        CAST(count(p.pid) AS BIGINT) AS n_purchases,
@@ -1218,6 +1240,7 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_pii_scrub": q_pii_scrub,
     "q59_distinct_sketch": q_distinct_sketch,
     "q60_stratified_split": q_stratified_split,
+    "q64_value_quantiles": q_value_quantiles,
 }
 
 TABULAR_ORACLES: dict[str, str] = {
@@ -1250,4 +1273,5 @@ TABULAR_ORACLES: dict[str, str] = {
     "q58_pii_scrub": SQL_PII_SCRUB,
     "q59_distinct_sketch": SQL_DISTINCT_SKETCH,
     "q60_stratified_split": SQL_STRATIFIED_SPLIT,
+    "q64_value_quantiles": SQL_VALUE_QUANTILES,
 }
