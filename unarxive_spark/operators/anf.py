@@ -48,6 +48,7 @@ __all__ = [
     "anf",
     "ANFResult",
     "anf_estimates",
+    "harmonic_centrality",
     "effective_diameter",
     "ANF_PHI",
 ]
@@ -64,6 +65,9 @@ class ANFResult:
     # N(t): estimated # of (v, u) pairs with dist <= t, t = 1..iterations
     # (N(0) = |V| by construction); driver-side list, one float per round
     neighborhood: list[float] | None = None
+    # with keep_states=True: [t=0 init, t=1, ..., t=iterations] sketch
+    # tables (t>=1 are checkpoint-materialized)
+    states: list[DataFrame] | None = None
 
 
 def _init_bitmap(i: int) -> F.Column:
@@ -90,6 +94,7 @@ def anf(
     n_regs: int = 8,
     max_iter: int = 30,
     checkpoint_dir: str | None = None,
+    keep_states: bool = False,
 ) -> ANFResult:
     """Forward-reachability sketches: after convergence vertex v's
     bitmaps sketch ``{u : v reaches u via directed edges}`` (v incl.)."""
@@ -128,6 +133,7 @@ def anf(
     ) / F.lit(ANF_PHI)
     pop = sum((F.bit_count(F.col(c)) for c in reg_cols), start=F.lit(0))
 
+    states: list[DataFrame] = [state]
     neighborhood: list[float] = []
     popcount = None
     prev_pop = -1
@@ -152,6 +158,8 @@ def anf(
         neighborhood.append(row["s"])
         ckpt.log_lineage(it, new_m, "total_popcount", float(popcount))
         state = new_m
+        if keep_states:
+            states.append(new_m)
         if popcount == prev_pop:
             converged = True
             break
@@ -162,6 +170,7 @@ def anf(
         converged=converged,
         n_regs=n_regs,
         neighborhood=neighborhood,
+        states=states if keep_states else None,
     )
 
 
@@ -201,3 +210,41 @@ def effective_diameter(res: ANFResult, q: float = 0.9) -> float:
                 return float(t)
             return (t - 1) + (target - prev) / (n_t - prev)
     return float(len(nf))
+
+
+def harmonic_centrality(res: ANFResult) -> DataFrame:
+    """Approximate harmonic (outward) centrality from the per-round
+    sketches — the canonical HyperBall application (Boldi & Vigna 2013,
+    "In-core computation of geometric centralities with HyperBall"):
+    ``HC(v) = sum_t (|B(v,t)| - |B(v,t-1)|) / t`` with every ball size
+    taken from the SAME sketch estimator (per-vertex r_sum is monotone,
+    so deltas are non-negative and rounds past the fixpoint add 0).
+    Requires ``anf(..., keep_states=True)``.
+    """
+    if not res.states:
+        raise ValueError("harmonic_centrality needs anf(keep_states=True)")
+    from pyspark.sql import Window
+
+    reg_cols = [f"r{i}" for i in range(res.n_regs)]
+    r_sum = sum((trailing_ones(c) for c in reg_cols), start=F.lit(0))
+    est = F.pow(
+        F.lit(2.0), r_sum.cast("double") / F.lit(float(res.n_regs))
+    ) / F.lit(ANF_PHI)
+    frames = [
+        st.select("conv_id", F.lit(t).alias("t"), est.alias("e"))
+        for t, st in enumerate(res.states)
+    ]
+    u = frames[0]
+    for fr in frames[1:]:
+        u = u.unionByName(fr)
+    w = Window.partitionBy("conv_id").orderBy("t")
+    return (
+        u.withColumn("__prev", F.lag("e").over(w))
+        .filter(F.col("t") >= 1)
+        .groupBy("conv_id")
+        .agg(
+            F.sum(
+                (F.col("e") - F.col("__prev")) / F.col("t")
+            ).alias("hc")
+        )
+    )

@@ -1211,7 +1211,10 @@ def q_anf(spark, sf_dir):
     )
 
 
-def _sql_anf(rounds: int, n_regs: int) -> str:
+def _anf_parts(rounds: int, n_regs: int) -> tuple[str, str]:
+    """Shared unrolled-superstep CTEs (averts, s0..s{rounds}) and the
+    trailing-ones r_sum expression — used by both the ANF and the
+    harmonic-centrality oracles."""
     from unarxive_spark.functions.hashing import h64_sql
 
     regs = [f"r{i}" for i in range(n_regs)]
@@ -1251,7 +1254,11 @@ def _sql_anf(rounds: int, n_regs: int) -> str:
     trail = " + ".join(
         f"CAST(floor(log2((~{c}) & ({c} + 1))) AS INT)" for c in regs
     )
-    ctes = ",\n".join(parts)
+    return ",\n".join(parts), trail
+
+
+def _sql_anf(rounds: int, n_regs: int) -> str:
+    ctes, trail = _anf_parts(rounds, n_regs)
     return f"""{GRAPH_PREFIX},
 {ctes}
 SELECT conv_id,
@@ -1262,6 +1269,48 @@ FROM s{rounds}"""
 
 
 SQL_ANF = _sql_anf(ANF_ORACLE_ROUNDS, ANF_REGS)
+
+
+def q_harmonic(spark, sf_dir):
+    """Approximate harmonic centrality from the per-round ANF sketches
+    (Boldi & Vigna 2013 HyperBall application). Oracle: per-round ball
+    estimates from the same unrolled CTEs + a lag-window delta sum."""
+    from unarxive_spark.operators.anf import anf, harmonic_centrality
+
+    res = anf(
+        _edges(spark, sf_dir),
+        n_regs=ANF_REGS,
+        max_iter=ANF_ORACLE_ROUNDS,
+        keep_states=True,
+    )
+    return harmonic_centrality(res).select(
+        "conv_id", F.round("hc", 6).alias("hc")
+    )
+
+
+def _sql_harmonic(rounds: int, n_regs: int) -> str:
+    ctes, trail = _anf_parts(rounds, n_regs)
+    est = (
+        f"pow(2.0, CAST({trail} AS BIGINT) / {float(n_regs)}) / 0.77351"
+    )
+    balls = "\nUNION ALL\n".join(
+        f"SELECT conv_id, {t} AS t, {est} AS e FROM s{t}"
+        for t in range(rounds + 1)
+    )
+    return f"""{GRAPH_PREFIX},
+{ctes},
+allb AS ({balls})
+SELECT conv_id, round(sum((e - pe) / t), 6) AS hc
+FROM (
+  SELECT conv_id, t, e,
+         lag(e) OVER (PARTITION BY conv_id ORDER BY t) AS pe
+  FROM allb
+)
+WHERE t >= 1
+GROUP BY 1"""
+
+
+SQL_HARMONIC = _sql_harmonic(ANF_ORACLE_ROUNDS, ANF_REGS)
 
 
 KTRUSS_K = 3
@@ -1417,6 +1466,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61_anf": q_anf,
     "q62_ktruss": q_ktruss,
     "q63_mis": q_mis,
+    "q65_harmonic": q_harmonic,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
@@ -1456,4 +1506,5 @@ GRAPH_ORACLES: dict[str, str] = {
     "q61_anf": SQL_ANF,
     "q62_ktruss": SQL_KTRUSS,
     "q63_mis": SQL_MIS,
+    "q65_harmonic": SQL_HARMONIC,
 }
