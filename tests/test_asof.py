@@ -45,6 +45,8 @@ def _rand_frames(seed, n_left=300, n_right=200, n_keys=6, unique_right=True):
 
 def _pandas_asof(left, right, direction, strict, tolerance_s=None):
     lp = pd.DataFrame(left, columns=["lid", "k", "ts", "lv"]).sort_values("ts")
+    if not right:
+        return {int(r.lid): None for r in lp.itertuples()}
     rp = pd.DataFrame(right, columns=["rid", "k", "ts", "rv"]).sort_values(
         ["ts", "rid"]
     )
@@ -67,8 +69,12 @@ def _pandas_asof(left, right, direction, strict, tolerance_s=None):
 
 
 def _spark_asof(spark, left, right, **kw):
-    l_df = _mk(spark, left, ["lid", "k", "ts", "lv"])
-    r_df = _mk(spark, right, ["rid", "k", "ts", "rv"])
+    l_df = spark.createDataFrame(
+        left, "lid long, k long, ts timestamp, lv double"
+    )
+    r_df = spark.createDataFrame(
+        right, "rid long, k long, ts timestamp, rv double"
+    )
     res = asof_join(
         l_df, r_df, on=["k"], left_ts="ts", right_cols=["rv"], **kw
     ).collect()
@@ -182,3 +188,53 @@ def test_asof_and_range_join_plans_have_no_nested_loop(spark, sf_dir):
         plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
         assert "CartesianProduct" not in plan, q.__name__
+
+
+# ---------------------------------------------------------------------
+# Property-based: hypothesis-generated event streams vs pandas.merge_asof
+# (duplicate left timestamps, empty keys, clustered times all arise)
+# ---------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+asof_cases = st.tuples(
+    st.lists(  # left: (key, seconds) — duplicates allowed
+        st.tuples(st.integers(0, 3), st.integers(0, 5000)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(  # right
+        st.tuples(st.integers(0, 3), st.integers(0, 5000)),
+        min_size=0,
+        max_size=25,
+    ),
+    st.sampled_from(["backward", "forward"]),
+    st.booleans(),  # strict
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(asof_cases)
+def test_asof_property(spark, case):
+    lrows, rrows, direction, strict = case
+    left = [
+        (i, k, EPOCH + dt.timedelta(seconds=s), float(i))
+        for i, (k, s) in enumerate(lrows)
+    ]
+    # unique right (k, ts): merge_asof tie-break among equal right ts is
+    # positional, the engine's is value-deterministic — dedup to compare
+    seen, right = set(), []
+    for j, (k, s) in enumerate(rrows):
+        if (k, s) in seen:
+            continue
+        seen.add((k, s))
+        right.append((1000 + j, k, EPOCH + dt.timedelta(seconds=s), float(j)))
+    got = _spark_asof(spark, left, right, direction=direction, strict=strict)
+    want = _pandas_asof(left, right, direction, strict)
+    assert got == want
