@@ -62,3 +62,44 @@ def test_mis_path_and_star(spark):
     star = [("hub", f"s{i}") for i in range(15)]
     for rows in (path, star, path + star):
         assert _run(spark, rows) == _oracle(rows)
+
+
+def test_greedy_coloring(spark):
+    from unarxive_spark.operators.mis import greedy_coloring
+
+    rng = random.Random(17)
+    rows = list(
+        {
+            (f"v{rng.randrange(18)}", f"v{rng.randrange(18)}")
+            for _ in range(45)
+        }
+    )
+    rows = [(u, v) for u, v in rows if u != v]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r.conv_id: r.color for r in greedy_coloring(df).collect()}
+
+    adj = {}
+    for u, v in rows:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    verts = set(adj)
+    # complete + proper
+    assert set(got) == verts
+    assert all(got[u] != got[v] for u, v in rows)
+    # deterministic replay: layer c = greedy MIS of the uncolored
+    # subgraph under the layer-salted priorities
+    want = {}
+    uncolored = set(verts)
+    c = 0
+    while uncolored:
+        layer = set()
+        for v in sorted(
+            uncolored, key=lambda x: (_h64(f"mis{c}|" + x), x)
+        ):
+            if not ((adj[v] & uncolored) & layer):
+                layer.add(v)
+        for v in layer:
+            want[v] = c
+        uncolored -= layer
+        c += 1
+    assert got == want

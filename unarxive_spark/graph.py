@@ -130,6 +130,11 @@ class LinkGraph:
 
         return maximal_independent_set(self.edges, **kw)
 
+    def greedy_coloring(self, **kw) -> DataFrame:
+        from unarxive_spark.operators.mis import greedy_coloring
+
+        return greedy_coloring(self.edges, **kw)
+
     def k_truss(self, k: int, **kw) -> DataFrame:
         from unarxive_spark.operators.ktruss import k_truss
 

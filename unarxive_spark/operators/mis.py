@@ -32,7 +32,7 @@ from unarxive_spark.functions.hashing import h64
 from unarxive_spark.operators.components import undirected
 from unarxive_spark.sources.checkpoint import CheckpointManager
 
-__all__ = ["maximal_independent_set"]
+__all__ = ["maximal_independent_set", "greedy_coloring"]
 
 
 def maximal_independent_set(
@@ -103,4 +103,72 @@ def maximal_independent_set(
     raise RuntimeError(
         f"maximal_independent_set: live vertices remain after "
         f"{max_iter} rounds — raise max_iter"
+    )
+
+
+def greedy_coloring(
+    edges: DataFrame,
+    max_colors: int = 64,
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Distance-1 vertex coloring by layered MIS (the standard
+    distributed reduction: color c = MIS of the still-uncolored induced
+    subgraph, Luby 1986 §4).  Deterministic: each layer uses the fixed
+    h64 priorities with a per-layer salt, so the whole coloring is a
+    pure function of the graph.  Returns ``(conv_id, color int)``;
+    colors used <= max degree + 1 in the greedy bound.  Raises if
+    ``max_colors`` layers don't exhaust the graph — no silent
+    truncation."""
+    adj_all = undirected(edges)
+    live_edges = adj_all
+    live_verts = (
+        edges.select(F.col("src_conv_id").alias("conv_id"))
+        .unionByName(edges.select(F.col("dst_conv_id").alias("conv_id")))
+        .distinct()
+    )
+    parts: list[DataFrame] = []
+    for color in range(max_colors):
+        n_left = live_verts.count()
+        if n_left == 0:
+            out = parts[0]
+            for pf in parts[1:]:
+                out = out.unionByName(pf)
+            return out
+        # isolated-in-subgraph vertices have no live edge; they are an
+        # independent set of their own and join this layer wholesale
+        has_edge = live_edges.select(F.col("u").alias("conv_id")).distinct()
+        isolated = live_verts.join(has_edge, "conv_id", "left_anti")
+        if live_edges.limit(1).count() == 0:
+            layer = live_verts
+        else:
+            layer = maximal_independent_set(
+                live_edges.select(
+                    F.col("u").alias("src_conv_id"),
+                    F.col("v").alias("dst_conv_id"),
+                ),
+                max_iter=max_iter,
+                checkpoint_dir=(
+                    f"{checkpoint_dir}/c{color}" if checkpoint_dir else None
+                ),
+                salt=f"mis{color}|",
+            ).unionByName(isolated).distinct()
+        parts.append(
+            layer.select("conv_id", F.lit(color).cast("int").alias("color"))
+        )
+        # truncate lineage per layer: without this, color c's MIS loop
+        # re-evaluates c chained anti-joins on every one of its rounds
+        live_verts = live_verts.join(
+            layer, "conv_id", "left_anti"
+        ).localCheckpoint(eager=True)
+        live_edges = (
+            live_edges.join(
+                layer.withColumnRenamed("conv_id", "u"), "u", "left_anti"
+            )
+            .join(layer.withColumnRenamed("conv_id", "v"), "v", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"greedy_coloring: vertices remain after {max_colors} colors — "
+        "raise max_colors"
     )
