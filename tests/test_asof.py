@@ -238,3 +238,19 @@ def test_asof_property(spark, case):
     got = _spark_asof(spark, left, right, direction=direction, strict=strict)
     want = _pandas_asof(left, right, direction, strict)
     assert got == want
+
+
+def test_asof_null_timestamps(spark):
+    # NULL-ts right rows must never match; NULL-ts left rows come back
+    # unmatched (left-join semantics)
+    left = [
+        (0, 0, EPOCH + dt.timedelta(seconds=100), 1.0),
+        (1, 0, None, 1.0),
+    ]
+    right = [
+        (100, 0, None, 9.0),  # must not be served as a match
+        (101, 0, EPOCH + dt.timedelta(seconds=50), 7.0),
+    ]
+    got = _spark_asof(spark, left, right)
+    assert got[0] == (EPOCH + dt.timedelta(seconds=50), 7.0)
+    assert got[1] is None

@@ -91,6 +91,12 @@ def asof_join(
         F.col(rts).alias("asof_ts"),
         *[F.col(c).alias(f"asof_{c}") for c in right_cols],
     )
+    # a NULL-timestamp right row cannot participate in temporal matching
+    # (its NULL sort key would order it before everything and the
+    # running-last would serve it as a bogus nearest match); NULL-ts
+    # left rows need no special case — they sort first, see no right
+    # rows, and keep NULL match columns (left-join semantics).
+    right = right.filter(F.col(rts).isNotNull())
     r_frame = right.select(
         *on,
         (sign * _us(F.col(rts))).alias("__o"),
