@@ -29,12 +29,33 @@ from pyspark.sql import functions as F
 
 from unarxive_spark.functions.hashing import h64, h64_sql
 
-__all__ = ["distinct_sketch", "distinct_sketch_sql"]
+__all__ = ["distinct_sketch", "distinct_sketch_sql", "reg_bit_columns"]
 
 _PHI = 0.77351
 # h64 is 60 bits; after dividing by n_regs (<= 2^12) at least ~48 bits
 # remain, so an all-zero remainder is ~2^-48 — still guard it.
 _RHO_CAP = 55
+
+
+def reg_bit_columns(key_col: str, n_regs: int = 64):
+    """(register, rank-bit) column pair for one key value — the
+    columnar, JVM-side front half of the sketch, reusable by the
+    streaming stateful operator (which only bit_ors the bits)."""
+    bits = int(n_regs).bit_length() - 1
+    if n_regs != 1 << bits:
+        raise ValueError(f"n_regs must be a power of two: {n_regs}")
+    h = h64(F.col(key_col).cast("string"))
+    # shift/mask keep everything in exact 64-bit integer arithmetic —
+    # h / n_regs through double division would be inexact past 2^53
+    rest = F.shiftright(h, bits)
+    low = rest.bitwiseAND(-rest)
+    # lowest-set-bit position: log2(x & -x) is exact for powers of two
+    rho = F.when(rest == 0, F.lit(_RHO_CAP)).otherwise(
+        (F.floor(F.log2(low)) + F.lit(1)).cast("int")
+    )
+    # 1 << (rho-1) as pow(2, rho-1): powers of two are exact doubles
+    bit = F.pow(F.lit(2.0), (rho - F.lit(1)).cast("double")).cast("long")
+    return h.bitwiseAND(F.lit(n_regs - 1)), bit
 
 
 def distinct_sketch(
@@ -46,29 +67,11 @@ def distinct_sketch(
     """Approximate distinct ``key_col`` per ``group_cols`` →
     ``(group_cols..., est_distinct double)``."""
     group_cols = list(group_cols)
-    bits = int(n_regs).bit_length() - 1
-    if n_regs != 1 << bits:
-        raise ValueError(f"n_regs must be a power of two: {n_regs}")
-    h = h64(F.col(key_col).cast("string"))
-    # shift/mask keep everything in exact 64-bit integer arithmetic —
-    # h / n_regs through double division would be inexact past 2^53
-    rest = F.shiftright(h, bits)
-    # lowest-set-bit position: log2(x & -x) is exact for powers of two
-    rho = F.when(F.col("__rest") == 0, F.lit(_RHO_CAP)).otherwise(
-        (F.floor(F.log2(F.expr("__rest & -__rest"))) + F.lit(1)).cast("int")
-    )
+    reg, bit = reg_bit_columns(key_col, n_regs)
     regs = (
-        df.select(
-            *group_cols,
-            h.bitwiseAND(F.lit(n_regs - 1)).alias("__reg"),
-            rest.alias("__rest"),
-        )
-        .withColumn("__rho", rho)
+        df.select(*group_cols, reg.alias("__reg"), bit.alias("__bit"))
         .groupBy(*group_cols, "__reg")
-        .agg(
-            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), __rho - 1)"))
-            .alias("__bm")
-        )
+        .agg(F.bit_or("__bit").alias("__bm"))
     )
     # trailing-ones count of the rank bitmap = lowest unseen rank - 1;
     # ~B & (B+1) isolates the lowest zero bit (exact power of two).
