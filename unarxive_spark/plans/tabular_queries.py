@@ -972,6 +972,45 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_asof_join_chunked(spark, sf_dir):
+    """The de-skewed two-stage as-of path (chunk_s): identical
+    semantics to q55 — same DuckDB oracle — but a mega-user's history
+    sorts across independent (user, time-chunk) tasks. A green row here
+    driver-checks the skew escape hatch end-to-end."""
+    from unarxive_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    views = (
+        ev.filter("event_type = 'view'")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "ts", "value")
+    )
+    res = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_cols=["value"],
+        chunk_s=6 * 3600,
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("asof_ts").cast("timestamp"))
+        )
+        .cast("long")
+        .alias("wait_us"),
+        F.round("asof_value", 6).alias("view_value"),
+    )
+
+
 SQL_ASOF_JOIN = """
 WITH v AS (
   SELECT user_id, ts, value FROM (
@@ -1241,6 +1280,7 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q59_distinct_sketch": q_distinct_sketch,
     "q60_stratified_split": q_stratified_split,
     "q64_value_quantiles": q_value_quantiles,
+    "q66_asof_chunked": q_asof_join_chunked,
 }
 
 TABULAR_ORACLES: dict[str, str] = {
@@ -1274,4 +1314,5 @@ TABULAR_ORACLES: dict[str, str] = {
     "q59_distinct_sketch": SQL_DISTINCT_SKETCH,
     "q60_stratified_split": SQL_STRATIFIED_SPLIT,
     "q64_value_quantiles": SQL_VALUE_QUANTILES,
+    "q66_asof_chunked": SQL_ASOF_JOIN,
 }
