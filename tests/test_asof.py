@@ -254,3 +254,27 @@ def test_asof_null_timestamps(spark):
     got = _spark_asof(spark, left, right)
     assert got[0] == (EPOCH + dt.timedelta(seconds=50), 7.0)
     assert got[1] is None
+
+
+def test_range_join_keyless_band(spark):
+    # on=[] makes it a pure time-band join (bucket-only candidates)
+    ivs = [
+        (0, EPOCH, EPOCH + dt.timedelta(seconds=1800)),
+        (1, EPOCH + dt.timedelta(seconds=900), EPOCH + dt.timedelta(seconds=2700)),
+    ]
+    pts = [(i, EPOCH + dt.timedelta(seconds=600 * i)) for i in range(6)]
+    ivs_df = _mk(spark, ivs, ["iid", "start_ts", "end_ts"])
+    pts_df = _mk(spark, pts, ["pid", "ts"])
+    got = {
+        (r.iid, r.pid)
+        for r in point_in_interval_join(
+            pts_df, ivs_df, on=[], bucket_s=900
+        ).collect()
+    }
+    want = {
+        (j, i)
+        for (j, s, e) in ivs
+        for (i, t) in pts
+        if s <= t < e
+    }
+    assert got == want and len(want) > 0
