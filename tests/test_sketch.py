@@ -49,3 +49,50 @@ def test_sketch_rejects_non_power_of_two(spark):
     df = spark.createDataFrame([(0, "a")], "g int, key string")
     with pytest.raises(ValueError, match="power of two"):
         distinct_sketch(df, "key", ["g"], n_regs=48)
+
+
+def test_cm_sketch_bounds_and_replay(spark):
+    from collections import Counter
+
+    from unarxive_spark.operators.sketch import cm_estimate, cm_sketch
+
+    # zipf-ish frequencies
+    rows = [(f"k{i % (j + 1)}",) for j in range(60) for i in range(j + 1)]
+    df = spark.createDataFrame(rows, "key string")
+    true = Counter(k for (k,) in rows)
+
+    sk = cm_sketch(df, "key", depth=4, width=256)
+    keys = spark.createDataFrame(
+        [(k,) for k in true], "key string"
+    )
+    got = {
+        r.key: r.est_count
+        for r in cm_estimate(sk, keys, "key", depth=4, width=256).collect()
+    }
+    assert got.keys() == true.keys()
+    # CM never under-counts
+    assert all(got[k] >= true[k] for k in true)
+    # python replay: identical hashing -> identical counters
+    W, D = 256, 4
+    counters = [[0] * W for _ in range(D)]
+    for (k,) in rows:
+        for i in range(D):
+            counters[i][_h64(f"cm{i}|{k}") & (W - 1)] += 1
+    want = {
+        k: min(counters[i][_h64(f"cm{i}|{k}") & (W - 1)] for i in range(D))
+        for k in true
+    }
+    assert got == want
+    # with 60 keys in 256 buckets most estimates are exact
+    exact = sum(got[k] == true[k] for k in true)
+    assert exact >= 0.8 * len(true)
+
+
+def test_cm_sketch_rejects_bad_params(spark):
+    from unarxive_spark.operators.sketch import cm_sketch
+
+    df = spark.createDataFrame([("a",)], "key string")
+    with pytest.raises(ValueError, match="power of two"):
+        cm_sketch(df, "key", width=100)
+    with pytest.raises(ValueError, match="depth"):
+        cm_sketch(df, "key", depth=0)

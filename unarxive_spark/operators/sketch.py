@@ -29,7 +29,14 @@ from pyspark.sql import functions as F
 
 from unarxive_spark.functions.hashing import h64, h64_sql
 
-__all__ = ["distinct_sketch", "distinct_sketch_sql", "reg_bit_columns"]
+__all__ = [
+    "distinct_sketch",
+    "distinct_sketch_sql",
+    "reg_bit_columns",
+    "cm_sketch",
+    "cm_estimate",
+    "cm_sketch_sql",
+]
 
 _PHI = 0.77351
 # h64 is 60 bits; after dividing by n_regs (<= 2^12) at least ~48 bits
@@ -113,3 +120,112 @@ SELECT {gc},
        pow(2.0, sum(floor(log2(~bm & (bm + 1)))) / {float(n_regs)})
          * {n_regs / _PHI} AS est_distinct
 FROM rr GROUP BY ALL"""
+
+
+# ---------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): mergeable frequency
+# estimation — the heavy-hitter companion to the FM cardinality sketch.
+# All integer arithmetic (counters + shift/mask hashing), so the DuckDB
+# oracle matches EXACTLY, not just to float rounding.
+# ---------------------------------------------------------------------
+
+
+def _cm_check(depth: int, width: int) -> int:
+    bits = int(width).bit_length() - 1
+    if width != 1 << bits:
+        raise ValueError(f"width must be a power of two: {width}")
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1: {depth}")
+    return bits
+
+
+def cm_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Build the d×w counter table → ``(row int, bucket int, cnt long)``
+    (sparse: absent cells are 0).  One union of ``depth`` projections +
+    one partial-agg groupBy — mergeable across shards/days by summing
+    cnt on (row, bucket)."""
+    _cm_check(depth, width)
+    frames = []
+    for i in range(depth):
+        h = h64(F.col(key_col).cast("string"), salt=f"cm{i}|")
+        frames.append(
+            df.select(
+                F.lit(i).alias("row"),
+                h.bitwiseAND(F.lit(width - 1)).cast("int").alias("bucket"),
+            )
+        )
+    u = frames[0]
+    for fr in frames[1:]:
+        u = u.unionByName(fr)
+    return u.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-estimate each key's frequency: ``min_i cnt[i][h_i(key)]``
+    (an upper bound on the true count; equality unless buckets collide).
+    Equi-joins on (row, bucket) only — the sketch side is d×w rows and
+    broadcasts."""
+    _cm_check(depth, width)
+    frames = []
+    for i in range(depth):
+        h = h64(F.col(key_col).cast("string"), salt=f"cm{i}|")
+        frames.append(
+            keys.select(
+                key_col,
+                F.lit(i).alias("row"),
+                h.bitwiseAND(F.lit(width - 1)).cast("int").alias("bucket"),
+            )
+        )
+    u = frames[0]
+    for fr in frames[1:]:
+        u = u.unionByName(fr)
+    return (
+        u.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
+    )
+
+
+def cm_sketch_sql(
+    table: str, key_expr: str, depth: int = 4, width: int = 256
+) -> str:
+    """DuckDB rendering of build + all-keys estimate over ``table``
+    (same salts, same shift/mask bucketing, exact integer parity)."""
+    _cm_check(depth, width)
+    rows = []
+    for i in range(depth):
+        h = h64_sql(f"CAST({key_expr} AS VARCHAR)", salt=f"cm{i}|")
+        rows.append(
+            f"SELECT {i} AS row, (({h}) & {width - 1}) AS bucket "
+            f"FROM {table}"
+        )
+    build = "\nUNION ALL\n".join(rows)
+    probes = []
+    for i in range(depth):
+        h = h64_sql(f"CAST({key_expr} AS VARCHAR)", salt=f"cm{i}|")
+        probes.append(
+            f"SELECT {key_expr} AS k, {i} AS row, "
+            f"(({h}) & {width - 1}) AS bucket FROM keys"
+        )
+    probe = "\nUNION ALL\n".join(probes)
+    return f"""
+WITH cm AS (
+  SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM ({build}) GROUP BY 1, 2
+),
+keys AS (SELECT DISTINCT {key_expr} FROM {table}),
+pr AS ({probe})
+SELECT pr.k, min(coalesce(cm.cnt, 0)) AS est_count
+FROM pr LEFT JOIN cm USING (row, bucket)
+GROUP BY 1"""

@@ -1236,6 +1236,40 @@ SELECT event_type,
 FROM events GROUP BY 1"""
 
 
+def q_cm_sketch(spark, sf_dir):
+    """Count-Min frequency sketch (operators/sketch.py): per-user event
+    counts estimated from the d x w counter table next to the exact
+    counts — all integer arithmetic, so the oracle matches exactly."""
+    from unarxive_spark.operators.sketch import cm_estimate, cm_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sk = cm_sketch(ev, "user_id")
+    keys = ev.select("user_id").distinct()
+    est = cm_estimate(sk, keys, "user_id")
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return exact.join(est, "user_id").select(
+        "user_id", "n_exact", "est_count"
+    )
+
+
+def _sql_cm_sketch() -> str:
+    from unarxive_spark.operators.sketch import cm_sketch_sql
+
+    return f"""
+WITH est AS ({cm_sketch_sql("events", "user_id")}),
+ex AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT ex.user_id, ex.n_exact, est.est_count
+FROM ex JOIN est ON est.k = ex.user_id"""
+
+
+SQL_CM_SKETCH = _sql_cm_sketch()
+
+
 SQL_RANGE_JOIN = """
 SELECT e.event_id, e.user_id,
        CAST(count(p.pid) AS BIGINT) AS n_purchases,
@@ -1281,6 +1315,7 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_stratified_split": q_stratified_split,
     "q64_value_quantiles": q_value_quantiles,
     "q66_asof_chunked": q_asof_join_chunked,
+    "q67_cm_sketch": q_cm_sketch,
 }
 
 TABULAR_ORACLES: dict[str, str] = {
@@ -1315,4 +1350,5 @@ TABULAR_ORACLES: dict[str, str] = {
     "q60_stratified_split": SQL_STRATIFIED_SPLIT,
     "q64_value_quantiles": SQL_VALUE_QUANTILES,
     "q66_asof_chunked": SQL_ASOF_JOIN,
+    "q67_cm_sketch": SQL_CM_SKETCH,
 }
