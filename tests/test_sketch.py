@@ -96,3 +96,41 @@ def test_cm_sketch_rejects_bad_params(spark):
         cm_sketch(df, "key", width=100)
     with pytest.raises(ValueError, match="depth"):
         cm_sketch(df, "key", depth=0)
+
+
+def test_bloom_filter_membership(spark):
+    from unarxive_spark.operators.sketch import bloom_build, bloom_contains
+
+    build = spark.createDataFrame(
+        [(f"in{i}",) for i in range(200)], "key string"
+    )
+    probe = spark.createDataFrame(
+        [(f"in{i}",) for i in range(200)]
+        + [(f"out{i}",) for i in range(400)],
+        "key string",
+    )
+    bl = bloom_build(build, "key")
+    got = {
+        r.key: r.in_bloom
+        for r in bloom_contains(bl, probe, "key").collect()
+    }
+    # no false negatives, ever
+    assert all(got[f"in{i}"] == 1 for i in range(200))
+    # python replay: identical bit math -> identical decisions
+    # (including whichever false positives the hashing produces)
+    M, K = 4096, 4
+    words = {}
+    for i in range(200):
+        for j in range(K):
+            pos = _h64(f"bloom{j}|in{i}") & (M - 1)
+            words[pos >> 6] = words.get(pos >> 6, 0) | (1 << (pos & 63))
+    def member(k):
+        for j in range(K):
+            pos = _h64(f"bloom{j}|{k}") & (M - 1)
+            if not (words.get(pos >> 6, 0) >> (pos & 63)) & 1:
+                return 0
+        return 1
+    assert got == {k: member(k) for k in got}
+    # the filter actually prunes: most outsiders rejected
+    fp = sum(got[f"out{i}"] for i in range(400))
+    assert fp < 40  # ~ (1 - e^-kn/m)^k << 10% here

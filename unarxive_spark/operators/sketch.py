@@ -36,6 +36,9 @@ __all__ = [
     "cm_sketch",
     "cm_estimate",
     "cm_sketch_sql",
+    "bloom_build",
+    "bloom_contains",
+    "bloom_sql",
 ]
 
 _PHI = 0.77351
@@ -228,4 +231,145 @@ keys AS (SELECT DISTINCT {key_expr} FROM {table}),
 pr AS ({probe})
 SELECT pr.k, min(coalesce(cm.cnt, 0)) AS est_count
 FROM pr LEFT JOIN cm USING (row, bucket)
+GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------
+# Bloom filter (Bloom 1970): portable membership sketch for semi-join
+# pruning — the build side collapses to m/64 bitmap words, the probe is
+# an equi-join on word index + a bit test, and false positives are a
+# deterministic function of the md5 hashing, so the DuckDB oracle
+# reproduces membership decisions (including the false positives)
+# exactly.
+# ---------------------------------------------------------------------
+
+
+def _bloom_check(n_bits: int, n_hashes: int) -> int:
+    bits = int(n_bits).bit_length() - 1
+    if n_bits != 1 << bits:
+        raise ValueError(f"n_bits must be a power of two: {n_bits}")
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1: {n_hashes}")
+    return bits
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    n_bits: int = 4096,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Bitmap words ``(word int, bm long)`` — ``n_bits/64`` rows max,
+    mergeable across shards by bit_or on word."""
+    _bloom_check(n_bits, n_hashes)
+    frames = []
+    for i in range(n_hashes):
+        h = h64(F.col(key_col).cast("string"), salt=f"bloom{i}|")
+        pos = h.bitwiseAND(F.lit(n_bits - 1))
+        # shiftleft, not pow-cast: bit 63 is the sign-bit pattern,
+        # which a double->long cast cannot produce
+        frames.append(
+            keys.select(
+                F.shiftright(pos, 6).cast("int").alias("word"),
+                pos.bitwiseAND(F.lit(63)).cast("int").alias("__b"),
+            ).select(
+                "word",
+                F.expr("shiftleft(CAST(1 AS BIGINT), __b)").alias("bit"),
+            )
+        )
+    u = frames[0]
+    for fr in frames[1:]:
+        u = u.unionByName(fr)
+    return u.groupBy("word").agg(F.bit_or("bit").alias("bm"))
+
+
+def bloom_contains(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    n_bits: int = 4096,
+    n_hashes: int = 4,
+):
+    """``(probes..., in_bloom int)`` — 1 iff every hash bit is set.
+    The bloom side broadcasts (<= n_bits/64 rows)."""
+    _bloom_check(n_bits, n_hashes)
+    frames = []
+    for i in range(n_hashes):
+        h = h64(F.col(key_col).cast("string"), salt=f"bloom{i}|")
+        pos = h.bitwiseAND(F.lit(n_bits - 1))
+        frames.append(
+            probes.select(
+                key_col,
+                F.shiftright(pos, 6).cast("int").alias("word"),
+                pos.bitwiseAND(F.lit(63)).cast("int").alias("__b"),
+            ).select(
+                key_col,
+                "word",
+                F.expr("shiftleft(CAST(1 AS BIGINT), __b)").alias("bit"),
+            )
+        )
+    u = frames[0]
+    for fr in frames[1:]:
+        u = u.unionByName(fr)
+    hit = (
+        F.col("bm").isNotNull()
+        & (F.col("bm").bitwiseAND(F.col("bit")) == F.col("bit"))
+    ).cast("int")
+    return (
+        u.join(F.broadcast(bloom), "word", "left")
+        .select(key_col, hit.alias("__hit"))
+        .groupBy(key_col)
+        .agg(
+            (F.min("__hit") == 1).cast("int").alias("in_bloom")
+        )
+    )
+
+
+def bloom_sql(
+    build_table: str,
+    build_key: str,
+    probe_table: str,
+    probe_key: str,
+    n_bits: int = 4096,
+    n_hashes: int = 4,
+) -> str:
+    """DuckDB rendering: distinct probe keys + their in_bloom flag."""
+    _bloom_check(n_bits, n_hashes)
+    def _bit(h: str) -> str:
+        # DuckDB raises on 1 << 63; the sign-bit word needs its literal
+        # (CASE is lazy per row, so the shift never evaluates at 63)
+        b = f"(({h}) & 63)"
+        return (
+            f"(CASE WHEN {b} = 63 "
+            f"THEN CAST(-9223372036854775807 - 1 AS BIGINT) "
+            f"ELSE (CAST(1 AS BIGINT) << {b}) END)"
+        )
+
+    builds, probes = [], []
+    for i in range(n_hashes):
+        hb = h64_sql(f"CAST({build_key} AS VARCHAR)", salt=f"bloom{i}|")
+        builds.append(
+            f"SELECT ((({hb}) & {n_bits - 1}) >> 6) AS word, "
+            f"{_bit(hb)} AS bit "
+            f"FROM {build_table}"
+        )
+        hp = h64_sql(f"CAST({probe_key} AS VARCHAR)", salt=f"bloom{i}|")
+        probes.append(
+            f"SELECT {probe_key} AS k, "
+            f"((({hp}) & {n_bits - 1}) >> 6) AS word, "
+            f"{_bit(hp)} AS bit "
+            f"FROM (SELECT DISTINCT {probe_key} FROM {probe_table})"
+        )
+    build = "\nUNION ALL\n".join(builds)
+    probe = "\nUNION ALL\n".join(probes)
+    return f"""
+WITH bl AS (
+  SELECT word, bit_or(bit) AS bm FROM ({build}) GROUP BY 1
+),
+pr AS ({probe})
+SELECT pr.k,
+       CAST(min(CASE WHEN bl.bm IS NOT NULL
+                      AND (bl.bm & pr.bit) = pr.bit
+                     THEN 1 ELSE 0 END) AS INT) AS in_bloom
+FROM pr LEFT JOIN bl USING (word)
 GROUP BY 1"""

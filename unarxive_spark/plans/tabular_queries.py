@@ -1270,6 +1270,54 @@ FROM ex JOIN est ON est.k = ex.user_id"""
 SQL_CM_SKETCH = _sql_cm_sketch()
 
 
+def q_bloom_semijoin(spark, sf_dir):
+    """Bloom-filter semi-join pruning: membership of every user against
+    the purchase-users bloom, next to the exact semi-join flag. False
+    positives are a deterministic function of the md5 bit math, so the
+    oracle matches them exactly too."""
+    from unarxive_spark.operators.sketch import bloom_build, bloom_contains
+
+    ev = _t(spark, sf_dir, "events")
+    buyers = ev.filter("event_type = 'purchase'").select("user_id")
+    bl = bloom_build(buyers, "user_id")
+    probes = ev.select("user_id").distinct()
+    flags = bloom_contains(bl, probes, "user_id")
+    exact = (
+        probes.join(buyers.distinct(), "user_id", "left_semi")
+        .withColumn("in_exact", F.lit(1))
+    )
+    return (
+        flags.join(exact, "user_id", "left")
+        .select(
+            "user_id",
+            "in_bloom",
+            F.coalesce("in_exact", F.lit(0)).cast("int").alias("in_exact"),
+        )
+    )
+
+
+def _sql_bloom_semijoin() -> str:
+    from unarxive_spark.operators.sketch import bloom_sql
+
+    inner = bloom_sql(
+        "(SELECT user_id FROM events WHERE event_type = 'purchase')",
+        "user_id",
+        "events",
+        "user_id",
+    )
+    return f"""
+WITH fl AS ({inner}),
+ex AS (SELECT DISTINCT user_id FROM events
+       WHERE event_type = 'purchase')
+SELECT fl.k AS user_id, fl.in_bloom,
+       CAST(CASE WHEN ex.user_id IS NULL THEN 0 ELSE 1 END AS INT)
+         AS in_exact
+FROM fl LEFT JOIN ex ON ex.user_id = fl.k"""
+
+
+SQL_BLOOM_SEMIJOIN = _sql_bloom_semijoin()
+
+
 SQL_RANGE_JOIN = """
 SELECT e.event_id, e.user_id,
        CAST(count(p.pid) AS BIGINT) AS n_purchases,
@@ -1316,6 +1364,7 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q64_value_quantiles": q_value_quantiles,
     "q66_asof_chunked": q_asof_join_chunked,
     "q67_cm_sketch": q_cm_sketch,
+    "q68_bloom_semijoin": q_bloom_semijoin,
 }
 
 TABULAR_ORACLES: dict[str, str] = {
@@ -1351,4 +1400,5 @@ TABULAR_ORACLES: dict[str, str] = {
     "q64_value_quantiles": SQL_VALUE_QUANTILES,
     "q66_asof_chunked": SQL_ASOF_JOIN,
     "q67_cm_sketch": SQL_CM_SKETCH,
+    "q68_bloom_semijoin": SQL_BLOOM_SEMIJOIN,
 }
