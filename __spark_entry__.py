@@ -42,6 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # subsumed-within-the-cap rows (q12 A6-histogram ⊂ q28/q36,
 # q09 ⊂ q37 full cube, q11 ⊂ q38 per-day series).
 _DEFER_LAST = (
+    "q69_betweenness",
     "q68_bloom_semijoin",
     "q67_cm_sketch",
     "q66_asof_chunked",

@@ -125,6 +125,11 @@ class LinkGraph:
 
         return core_numbers(self.edges, **kw)
 
+    def betweenness(self, **kw) -> DataFrame:
+        from unarxive_spark.operators.betweenness import betweenness
+
+        return betweenness(self.edges, **kw)
+
     def maximal_independent_set(self, **kw) -> DataFrame:
         from unarxive_spark.operators.mis import maximal_independent_set
 

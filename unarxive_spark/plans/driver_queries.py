@@ -1429,6 +1429,95 @@ live{r + 1} AS MATERIALIZED (
 SQL_MIS = _sql_mis(MIS_ORACLE_ROUNDS)
 
 
+BC_SOURCES = 4
+# BFS unroll depth for the oracle; levels past the true depth are empty
+BC_ORACLE_DEPTH = 14
+
+
+def q_betweenness(spark, sf_dir):
+    """k-source Brandes betweenness (operators/betweenness.py): 4
+    deterministic h64-min pivots, multi-source BFS + backward dependency
+    sweep. Oracle: forward levels and the backward sweep UNROLLED as
+    MATERIALIZED CTEs (both sides accumulate sigma and delta over the
+    identical shortest-path DAG)."""
+    from unarxive_spark.operators.betweenness import betweenness
+
+    res = betweenness(_edges(spark, sf_dir), k_sources=BC_SOURCES)
+    return res.select("conv_id", F.round("bc", 6).alias("bc"))
+
+
+def _sql_betweenness(depth: int, k: int) -> str:
+    from unarxive_spark.functions.hashing import h64_sql
+
+    h = h64_sql("conv_id")
+    parts = [
+        """bverts AS MATERIALIZED (
+  SELECT DISTINCT conv_id FROM (
+    SELECT src_conv_id AS conv_id FROM edges
+    UNION ALL
+    SELECT dst_conv_id FROM edges
+  )
+),
+dedges AS MATERIALIZED (
+  SELECT DISTINCT src_conv_id AS u, dst_conv_id AS v FROM edges
+  WHERE src_conv_id != dst_conv_id
+)""",
+        f"""srcs AS (
+  SELECT conv_id AS s FROM bverts ORDER BY {h}, conv_id LIMIT {k}
+),
+f0 AS MATERIALIZED (
+  SELECT s, s AS v, CAST(1 AS DOUBLE) AS sigma FROM srcs
+),
+set0 AS MATERIALIZED (SELECT s, v FROM f0)""",
+    ]
+    for d in range(depth):
+        parts.append(f"""f{d + 1} AS MATERIALIZED (
+  SELECT e.s, e.v, sum(e.sigma) AS sigma FROM (
+    SELECT f.s, a.v AS v, f.sigma
+    FROM f{d} f JOIN dedges a ON a.u = f.v
+  ) e
+  WHERE NOT EXISTS (SELECT 1 FROM set{d} st
+                    WHERE st.s = e.s AND st.v = e.v)
+  GROUP BY 1, 2
+),
+set{d + 1} AS MATERIALIZED (
+  SELECT s, v FROM set{d}
+  UNION ALL
+  SELECT s, v FROM f{d + 1}
+)""")
+    parts.append(
+        f"dl{depth} AS MATERIALIZED (SELECT s, v, "
+        f"CAST(0 AS DOUBLE) AS delta FROM f{depth})"
+    )
+    for d in range(depth, 0, -1):
+        parts.append(f"""dl{d - 1} AS MATERIALIZED (
+  SELECT c.s, p.v, sum(p.sigma / c.sigma_w * (1 + c.delta_w)) AS delta
+  FROM (
+    SELECT f.s, f.v AS w, f.sigma AS sigma_w,
+           coalesce(dl.delta, 0e0) AS delta_w
+    FROM f{d} f LEFT JOIN dl{d} dl ON dl.s = f.s AND dl.v = f.v
+  ) c
+  JOIN dedges a ON a.v = c.w
+  JOIN f{d - 1} p ON p.s = c.s AND p.v = a.u
+  GROUP BY 1, 2
+)""")
+    acc = "\nUNION ALL\n".join(
+        f"SELECT s, v, delta FROM dl{d} WHERE v != s"
+        for d in range(depth)
+    )
+    ctes = ",\n".join(parts)
+    return f"""{GRAPH_PREFIX},
+{ctes},
+bacc AS ({acc})
+SELECT b.conv_id, round(coalesce(x.bc, 0e0), 6) AS bc
+FROM bverts b
+LEFT JOIN (SELECT v, sum(delta) AS bc FROM bacc GROUP BY 1) x
+  ON x.v = b.conv_id"""
+
+
+SQL_BETWEENNESS = _sql_betweenness(BC_ORACLE_DEPTH, BC_SOURCES)
+
+
 GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_transcripts": q_transcripts,
     "q02_mine_refs": q_mine_refs,
@@ -1467,6 +1556,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q62_ktruss": q_ktruss,
     "q63_mis": q_mis,
     "q65_harmonic": q_harmonic,
+    "q69_betweenness": q_betweenness,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
@@ -1507,4 +1597,5 @@ GRAPH_ORACLES: dict[str, str] = {
     "q62_ktruss": SQL_KTRUSS,
     "q63_mis": SQL_MIS,
     "q65_harmonic": SQL_HARMONIC,
+    "q69_betweenness": SQL_BETWEENNESS,
 }
