@@ -129,6 +129,16 @@ def test_effective_diameter_on_path(spark):
     star = [(f"s{i}", "hub") for i in range(1, 20)]
     _, res_star = _run(spark, star)
     assert effective_diameter(res_star) <= 2.0
+    # the t=1 segment interpolates from N(0) (radius-0 balls ≈ |V|
+    # under the same estimator), not from 0 (ADVICE r3): a q-target
+    # inside round 1 lands strictly between 0 and 1 …
+    assert res_star.n0_estimate is not None and res_star.n0_estimate > 0
+    assert res_star.n_vertices == 20
+    d1 = effective_diameter(res_star, q=0.9)
+    assert 0.0 < d1 <= 1.0
+    # … and a target already met by the radius-0 balls gives 0
+    tiny_q = 0.5 * res_star.n0_estimate / res_star.neighborhood[-1]
+    assert effective_diameter(res_star, q=tiny_q) == 0.0
 
 
 def test_harmonic_centrality_matches_replay(spark):

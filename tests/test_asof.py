@@ -256,6 +256,28 @@ def test_asof_null_timestamps(spark):
     assert got[1] is None
 
 
+def test_range_join_null_bounded_intervals_excluded(spark):
+    # A NULL start/end can never satisfy start <= ts < end; it must be
+    # dropped under inner-join semantics, not crash the job via a NULL
+    # assert_true condition in the span guard (ADVICE r3).
+    ivs = [
+        (0, 0, EPOCH, EPOCH + dt.timedelta(seconds=1800)),
+        (1, 0, None, EPOCH + dt.timedelta(seconds=1800)),
+        (2, 0, EPOCH, None),
+        (3, 0, None, None),
+    ]
+    pts = [(0, 0, EPOCH + dt.timedelta(seconds=600))]
+    ivs_df = _mk(spark, ivs, ["iid", "k", "start_ts", "end_ts"])
+    pts_df = _mk(spark, pts, ["pid", "k", "ts"])
+    got = {
+        (r.iid, r.pid)
+        for r in point_in_interval_join(
+            pts_df, ivs_df, on=["k"], bucket_s=900
+        ).collect()
+    }
+    assert got == {(0, 0)}
+
+
 def test_range_join_keyless_band(spark):
     # on=[] makes it a pure time-band join (bucket-only candidates)
     ivs = [

@@ -74,3 +74,26 @@ def test_streaming_sketch_equals_batch(spark, tmp_path):
     assert got.keys() == want.keys()
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9, k
+
+
+def test_update_fn_keeps_custom_group_col_name():
+    """A non-default group column must keep its name in the output —
+    the schema and the emitted frame are built from group_col, not a
+    hard-coded 'event_type' (ADVICE r3)."""
+    from unarxive_spark.streaming.sketchstate import (
+        _make_update,
+        output_schema,
+    )
+
+    class _FakeState:
+        exists = False
+
+        def update(self, v):
+            self.stored = v
+
+    assert output_schema("lang") == "lang string, est_distinct double"
+    upd = _make_update(4, group_col="lang")
+    batch = pd.DataFrame({"reg": [0, 1], "bit": [1, 2]})
+    (out,) = list(upd(("en",), iter([batch]), _FakeState()))
+    assert list(out.columns) == ["lang", "est_distinct"]
+    assert out["lang"].tolist() == ["en"]

@@ -62,9 +62,14 @@ class ANFResult:
     iterations: int
     converged: bool
     n_regs: int
-    # N(t): estimated # of (v, u) pairs with dist <= t, t = 1..iterations
-    # (N(0) = |V| by construction); driver-side list, one float per round
+    # N(t): estimated # of (v, u) pairs with dist <= t, t = 1..iterations;
+    # driver-side list, one float per round
     neighborhood: list[float] | None = None
+    # N(0) under the SAME sketch estimator (balls of radius 0, i.e. the
+    # init state — truth is |V|, but the estimator-consistent value keeps
+    # the N(t) sequence monotone for interpolation) and the exact |V|
+    n0_estimate: float | None = None
+    n_vertices: int | None = None
     # with keep_states=True: [t=0 init, t=1, ..., t=iterations] sketch
     # tables (t>=1 are checkpoint-materialized)
     states: list[DataFrame] | None = None
@@ -133,6 +138,15 @@ def anf(
     ) / F.lit(ANF_PHI)
     pop = sum((F.bit_count(F.col(c)) for c in reg_cols), start=F.lit(0))
 
+    # one init-time action: exact |V| + the estimator-consistent N(0)
+    # (needed so effective_diameter can interpolate the t=1 segment from
+    # the real radius-0 ball sizes instead of from 0)
+    init_row = state.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(est_pairs).alias("s")
+    ).collect()[0]
+    n_vertices = int(init_row["n"])
+    n0_estimate = float(init_row["s"])
+
     states: list[DataFrame] = [state]
     neighborhood: list[float] = []
     popcount = None
@@ -170,6 +184,8 @@ def anf(
         converged=converged,
         n_regs=n_regs,
         neighborhood=neighborhood,
+        n0_estimate=n0_estimate,
+        n_vertices=n_vertices,
         states=states if keep_states else None,
     )
 
@@ -202,10 +218,17 @@ def effective_diameter(res: ANFResult, q: float = 0.9) -> float:
     nf = res.neighborhood
     if not nf:
         raise ValueError("anf() recorded no neighborhood function")
+    # N(0) is the radius-0 ball total under the same estimator (≈ |V|,
+    # estimator-biased the same way as every N(t)); interpolating the
+    # t=1 segment from 0 instead would overstate the fraction covered
+    # whenever the q-target falls inside round 1.
+    n0 = res.n0_estimate if res.n0_estimate is not None else 0.0
     target = q * nf[-1]
+    if n0 >= target:
+        return 0.0
     for t, n_t in enumerate(nf, start=1):
         if n_t >= target:
-            prev = nf[t - 2] if t >= 2 else 0.0
+            prev = nf[t - 2] if t >= 2 else n0
             if n_t == prev:
                 return float(t)
             return (t - 1) + (target - prev) / (n_t - prev)

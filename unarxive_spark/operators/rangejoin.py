@@ -83,7 +83,14 @@ def point_in_interval_join(
             )
         ),
     )
-    ivs = intervals.withColumn(
+    # NULL-bounded intervals can never satisfy start <= ts < end, so
+    # exclude them up front (inner-join semantics) — otherwise the NULL
+    # propagates into assert_true's condition, which treats NULL as a
+    # failure and kills the whole job (unlike asof_join, which filters
+    # NULL-ts right rows the same way).
+    ivs = intervals.filter(
+        F.col(start_ts).isNotNull() & F.col(end_ts).isNotNull()
+    ).withColumn(
         "__bucket",
         F.explode(
             F.when(span_ok.isNull(), F.sequence(b_lo, F.greatest(b_lo, b_hi)))

@@ -1115,9 +1115,18 @@ est{k + 1} AS MATERIALIZED (
   FROM est{k} e JOIN h{k} h ON h.u = e.conv_id
 )""")
     ctes = ",\n".join(parts)
+    # fixpoint sentinel: if the last two unrolled states still differ the
+    # unroll depth was too small for this dataset — emit a poison row so
+    # the driver compare fails LOUDLY instead of silently diverging from
+    # the engine (which iterates to the true fixpoint)
     return (
         f"{GRAPH_PREFIX},\n{ctes}\n"
-        f"SELECT conv_id, est AS core FROM est{rounds}"
+        f"SELECT conv_id, est AS core FROM est{rounds}\n"
+        f"UNION ALL\n"
+        f"SELECT '__ORACLE_UNROLL_TOO_SHALLOW__', CAST(-1 AS INT)\n"
+        f"WHERE EXISTS (SELECT 1 FROM est{rounds} a\n"
+        f"              JOIN est{rounds - 1} b ON b.conv_id = a.conv_id\n"
+        f"              WHERE a.est != b.est)"
     )
 
 
@@ -1356,7 +1365,15 @@ e{r + 1} AS MATERIALIZED (
   WHERE c.sup >= {k - 2}
 )""")
     ctes = ",\n".join(parts)
-    return f"{GRAPH_PREFIX},\n{ctes}\nSELECT a, b FROM e{rounds}"
+    # fixpoint sentinel: peeling is monotone-decreasing, so convergence
+    # is exactly |e{rounds}| == |e{rounds-1}|; poison row otherwise
+    return (
+        f"{GRAPH_PREFIX},\n{ctes}\nSELECT a, b FROM e{rounds}\n"
+        f"UNION ALL\n"
+        f"SELECT '__ORACLE_UNROLL_TOO_SHALLOW__', ''\n"
+        f"WHERE (SELECT count(*) FROM e{rounds})\n"
+        f"   != (SELECT count(*) FROM e{rounds - 1})"
+    )
 
 
 SQL_KTRUSS = _sql_ktruss(KTRUSS_K, KTRUSS_ORACLE_ROUNDS)
@@ -1423,7 +1440,13 @@ live{r + 1} AS MATERIALIZED (
         f"SELECT conv_id FROM win{r}" for r in range(rounds)
     )
     ctes = ",\n".join(parts)
-    return f"{GRAPH_PREFIX},\n{ctes}\n{union}"
+    # fixpoint sentinel: Luby terminates when no live vertices remain;
+    # a non-empty live{rounds} means the unroll was too shallow
+    sentinel = (
+        f"\nUNION\nSELECT '__ORACLE_UNROLL_TOO_SHALLOW__' AS conv_id\n"
+        f"WHERE EXISTS (SELECT 1 FROM live{rounds})"
+    )
+    return f"{GRAPH_PREFIX},\n{ctes}\n{union}{sentinel}"
 
 
 SQL_MIS = _sql_mis(MIS_ORACLE_ROUNDS)
@@ -1512,7 +1535,10 @@ bacc AS ({acc})
 SELECT b.conv_id, round(coalesce(x.bc, 0e0), 6) AS bc
 FROM bverts b
 LEFT JOIN (SELECT v, sum(delta) AS bc FROM bacc GROUP BY 1) x
-  ON x.v = b.conv_id"""
+  ON x.v = b.conv_id
+UNION ALL
+SELECT '__ORACLE_UNROLL_TOO_SHALLOW__', -1e0
+WHERE EXISTS (SELECT 1 FROM f{depth})"""
 
 
 SQL_BETWEENNESS = _sql_betweenness(BC_ORACLE_DEPTH, BC_SOURCES)

@@ -26,11 +26,20 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from unarxive_spark.operators.sketch import _PHI, reg_bit_columns
 
-OUTPUT_SCHEMA = "event_type string, est_distinct double"
 STATE_SCHEMA = "bms array<long>"
 
 
-def _make_update(n_regs: int):
+def output_schema(group_col: str = "event_type") -> str:
+    """Output schema keyed by the caller's grouping column — hard-coding
+    ``event_type`` would silently rename a non-default group column."""
+    return f"{group_col} string, est_distinct double"
+
+
+# kept for callers that read the default-shaped output
+OUTPUT_SCHEMA = output_schema()
+
+
+def _make_update(n_regs: int, group_col: str = "event_type"):
     def _update(
         key: tuple,
         pdfs: Iterator[pd.DataFrame],
@@ -49,7 +58,7 @@ def _make_update(n_regs: int):
         )
         est = 2.0 ** (r_sum / n_regs) * n_regs / _PHI
         yield pd.DataFrame(
-            {"event_type": [key[0]], "est_distinct": [est]}
+            {group_col: [key[0]], "est_distinct": [est]}
         )
 
     return _update
@@ -66,8 +75,8 @@ def streaming_distinct_sketch(
         group_col, reg.alias("reg"), bit.alias("bit")
     )
     return prepared.groupBy(group_col).applyInPandasWithState(
-        _make_update(n_regs),
-        outputStructType=OUTPUT_SCHEMA,
+        _make_update(n_regs, group_col),
+        outputStructType=output_schema(group_col),
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
