@@ -103,6 +103,35 @@ def test_query_matches_oracle(spark, con, name, fn, sql):
         raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
 
 
+def test_cap_rotation_covers_ungated_queries():
+    """The driver's CORRECTNESS artifact caps at 50 rows.  Invariants:
+    every query with no green row in a past round's artifact must sit
+    inside the first 50 registry slots, and the defer tail must stay
+    long enough that newly added queries land inside the cap too."""
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(entry_mod.__file__))
+    qs = list(entry_mod.queries().keys())
+    assert len(set(qs)) == len(qs)
+    top50 = set(qs[:50])
+    ever_green = set()
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        with open(path) as fh:
+            art = json.load(fh)
+        ever_green |= {
+            k
+            for k, v in art.items()
+            if v.get("rows_match") and v.get("hash_match")
+        }
+    ungated = [q for q in qs if q not in ever_green]
+    outside = [q for q in ungated if q not in top50]
+    assert not outside, (
+        f"{len(outside)} queries have never had a green driver row and "
+        f"sit outside the 50-row cap — extend _DEFER_LAST: {outside}"
+    )
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
