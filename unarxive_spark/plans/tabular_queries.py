@@ -1318,6 +1318,73 @@ FROM fl LEFT JOIN ex ON ex.user_id = fl.k"""
 SQL_BLOOM_SEMIJOIN = _sql_bloom_semijoin()
 
 
+# q-digest sketch parameters shared by the state and quantile rows:
+# k=64 forces real merging at sf0.01 (~2k rows/group → threshold 31);
+# bits=12 → 4096-leaf universe over value ∈ [0, 1024)
+QD_K, QD_BITS, QD_LO, QD_HI = 64, 12, 0.0, 1024.0
+QD_PROBS = (0.1, 0.5, 0.9, 0.99)
+
+
+def q_qdigest_state(spark, sf_dir):
+    """Mergeable quantile sketch (operators/qdigest.py, q-digest —
+    Shrivastava et al. SenSys 2004): the full per-group node table,
+    value-checked BIT-FOR-BIT against the DuckDB unrolled bottom-up
+    sweep.  The exact-quantile row (q64) forces a per-group sort at
+    scale; this digest is the mergeable O(k·bits)-state replacement."""
+    from unarxive_spark.operators.qdigest import qdigest
+
+    ev = _t(spark, sf_dir, "events")
+    return qdigest(
+        ev, "value", ["event_type"], k=QD_K, bits=QD_BITS, lo=QD_LO, hi=QD_HI
+    )
+
+
+def _sql_qdigest_state() -> str:
+    from unarxive_spark.operators.qdigest import qdigest_sql
+
+    return qdigest_sql(
+        "events", "value", ["event_type"], k=QD_K, bits=QD_BITS,
+        lo=QD_LO, hi=QD_HI,
+    )
+
+
+SQL_QDIGEST_STATE = _sql_qdigest_state()
+
+
+def q_qdigest_quantiles(spark, sf_dir):
+    """Quantile answers read off the q-digest via the canonical sorted
+    traversal (upper bound asc, narrower node first, running count) —
+    integer leaf index exact, dequantized value to rounding."""
+    from unarxive_spark.operators.qdigest import (
+        qdigest,
+        qdigest_quantiles,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    d = qdigest(
+        ev, "value", ["event_type"], k=QD_K, bits=QD_BITS, lo=QD_LO, hi=QD_HI
+    )
+    return qdigest_quantiles(
+        d, ["event_type"], QD_PROBS, bits=QD_BITS, lo=QD_LO, hi=QD_HI
+    ).withColumn("q_value", F.round("q_value", 6))
+
+
+def _sql_qdigest_quantiles() -> str:
+    from unarxive_spark.operators.qdigest import qdigest_quantiles_sql
+
+    inner = qdigest_quantiles_sql(
+        "events", "value", ["event_type"], QD_PROBS,
+        k=QD_K, bits=QD_BITS, lo=QD_LO, hi=QD_HI,
+    )
+    return (
+        f"SELECT event_type, prob, q_leaf, round(q_value, 6) AS q_value"
+        f" FROM ({inner})"
+    )
+
+
+SQL_QDIGEST_QUANTILES = _sql_qdigest_quantiles()
+
+
 SQL_RANGE_JOIN = """
 SELECT e.event_id, e.user_id,
        CAST(count(p.pid) AS BIGINT) AS n_purchases,
@@ -1365,6 +1432,8 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q66_asof_chunked": q_asof_join_chunked,
     "q67_cm_sketch": q_cm_sketch,
     "q68_bloom_semijoin": q_bloom_semijoin,
+    "q70_qdigest_state": q_qdigest_state,
+    "q71_qdigest_quantiles": q_qdigest_quantiles,
 }
 
 TABULAR_ORACLES: dict[str, str] = {
@@ -1401,4 +1470,6 @@ TABULAR_ORACLES: dict[str, str] = {
     "q66_asof_chunked": SQL_ASOF_JOIN,
     "q67_cm_sketch": SQL_CM_SKETCH,
     "q68_bloom_semijoin": SQL_BLOOM_SEMIJOIN,
+    "q70_qdigest_state": SQL_QDIGEST_STATE,
+    "q71_qdigest_quantiles": SQL_QDIGEST_QUANTILES,
 }
