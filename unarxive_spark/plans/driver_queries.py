@@ -1195,6 +1195,160 @@ s0 AS (SELECT conv_id || '#0' AS walk_id, 0 AS step, conv_id AS cur
 SQL_RANDOM_WALKS = _sql_random_walks(WALK_LEN, WALK_SEED)
 
 
+def q_weighted_walks(spark, sf_dir):
+    """Weight-proportional walk corpus (operators/walks.py): the h64
+    pick reduces modulo the total out-WEIGHT and selects the edge whose
+    cumulative-weight range contains it — heavy (high-marker-count)
+    citations dominate the embedding corpus, as node2vec prescribes for
+    weighted graphs. Oracle: unrolled steps against the identical
+    exclusive prefix-sum in (shard, dst) order."""
+    from unarxive_spark.operators.walks import random_walks
+
+    starts = (
+        transcripts_from_events(spark, sf_dir).select("conv_id").distinct()
+    )
+    return random_walks(
+        _edges(spark, sf_dir),
+        starts,
+        walk_length=WALK_LEN,
+        walks_per_vertex=1,
+        seed=WALK_SEED,
+        weight_col="weight",
+    )
+
+
+def _sql_weighted_walks(walk_len: int, seed: int) -> str:
+    from unarxive_spark.functions.hashing import h64_sql
+    from unarxive_spark.operators.walks import N_RANK_SHARDS
+
+    parts = [
+        f"""wde AS (
+  SELECT src_conv_id AS src, dst_conv_id AS dst,
+         CAST(sum(weight) AS BIGINT) AS w
+  FROM edges GROUP BY 1, 2),
+wranked AS (
+  SELECT src, dst, w,
+         coalesce(sum(w) OVER (
+           PARTITION BY src
+           ORDER BY {h64_sql("dst")} % {N_RANK_SHARDS}, dst
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS wcum,
+         sum(w) OVER (PARTITION BY src) AS wtot
+  FROM wde
+),
+ws0 AS (SELECT conv_id || '#0' AS walk_id, 0 AS step, conv_id AS cur
+        FROM verts)"""
+    ]
+    for step in range(1, walk_len + 1):
+        pick_arg = f"'{seed}|' || f.walk_id || '|{step}'"
+        pick = f"({h64_sql(pick_arg)})"
+        parts.append(f"""ws{step} AS (
+  SELECT f.walk_id, {step} AS step, r.dst AS cur
+  FROM ws{step - 1} f JOIN wranked r ON r.src = f.cur
+  WHERE {pick} % r.wtot >= r.wcum
+    AND {pick} % r.wtot < r.wcum + r.w
+)""")
+    ctes = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(
+        f"SELECT walk_id, step, cur AS conv_id FROM ws{i}"
+        for i in range(walk_len + 1)
+    )
+    return f"{GRAPH_PREFIX},\n{ctes}\n{union}"
+
+
+SQL_WEIGHTED_WALKS = _sql_weighted_walks(WALK_LEN, WALK_SEED)
+
+
+# node2vec biases ∝ (1/p, 1, 1/q) scaled to integers: p=1/2, q=3 →
+# (2, 1, 1/3) × 3 — return-leaning, exploration-averse
+N2V_RET, N2V_ADJ, N2V_FAR = 6, 3, 1
+
+
+def q_node2vec_walks(spark, sf_dir):
+    """Second-order node2vec walks (Grover & Leskovec 2016): the
+    successor bias depends on the previous vertex (return / distance-1 /
+    distance-2), so the normalizer is per-walk — the engine windows each
+    step's candidate set with the two-stage shard de-skew. Oracle: the
+    steps UNROLLED with the identical per-walk bias prefix sums."""
+    from unarxive_spark.operators.walks import node2vec_walks
+
+    starts = (
+        transcripts_from_events(spark, sf_dir).select("conv_id").distinct()
+    )
+    return node2vec_walks(
+        _edges(spark, sf_dir),
+        starts,
+        walk_length=WALK_LEN,
+        walks_per_vertex=1,
+        seed=WALK_SEED,
+        ret_bias=N2V_RET,
+        adj_bias=N2V_ADJ,
+        far_bias=N2V_FAR,
+        weight_col="weight",
+    )
+
+
+def _sql_node2vec_walks(walk_len: int, seed: int) -> str:
+    from unarxive_spark.functions.hashing import h64_sql
+    from unarxive_spark.operators.walks import N_RANK_SHARDS
+
+    pick1_arg = f"'{seed}|' || f.walk_id || '|1'"
+    pick1 = f"({h64_sql(pick1_arg)})"
+    parts = [
+        f"""n2e AS MATERIALIZED (
+  SELECT src, dst, w, {h64_sql("dst")} % {N_RANK_SHARDS} AS sh FROM (
+    SELECT src_conv_id AS src, dst_conv_id AS dst,
+           CAST(sum(weight) AS BIGINT) AS w
+    FROM edges GROUP BY 1, 2)
+),
+n2r AS (
+  SELECT src, dst, w,
+         coalesce(sum(w) OVER (PARTITION BY src ORDER BY sh, dst
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS wcum,
+         sum(w) OVER (PARTITION BY src) AS wtot
+  FROM n2e
+),
+t0 AS (SELECT conv_id || '#0' AS walk_id, conv_id AS cur FROM verts),
+t1 AS MATERIALIZED (
+  SELECT f.walk_id, r.dst AS cur, f.cur AS prev
+  FROM t0 f JOIN n2r r ON r.src = f.cur
+  WHERE {pick1} % r.wtot >= r.wcum AND {pick1} % r.wtot < r.wcum + r.w
+)"""
+    ]
+    for step in range(2, walk_len + 1):
+        pick_arg = f"'{seed}|' || walk_id || '|{step}'"
+        pick = f"({h64_sql(pick_arg)})"
+        parts.append(f"""c{step} AS (
+  SELECT f.walk_id, f.cur AS src, f.prev, e.dst, e.sh,
+         e.w * (CASE WHEN e.dst = f.prev THEN {N2V_RET}
+                     WHEN ex.dst IS NOT NULL THEN {N2V_ADJ}
+                     ELSE {N2V_FAR} END) AS aw
+  FROM t{step - 1} f
+  JOIN n2e e ON e.src = f.cur
+  LEFT JOIN n2e ex ON ex.src = f.prev AND ex.dst = e.dst
+),
+t{step} AS MATERIALIZED (
+  SELECT walk_id, dst AS cur, src AS prev FROM (
+    SELECT walk_id, src, dst, aw,
+           coalesce(sum(aw) OVER (PARTITION BY walk_id ORDER BY sh, dst
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+           sum(aw) OVER (PARTITION BY walk_id) AS tot
+    FROM c{step})
+  WHERE {pick} % tot >= cum AND {pick} % tot < cum + aw
+)""")
+    ctes = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(
+        ["SELECT walk_id, 0 AS step, cur AS conv_id FROM t0"]
+        + [
+            f"SELECT walk_id, {i} AS step, cur AS conv_id FROM t{i}"
+            for i in range(1, walk_len + 1)
+        ]
+    )
+    return f"{GRAPH_PREFIX},\n{ctes}\n{union}"
+
+
+SQL_NODE2VEC_WALKS = _sql_node2vec_walks(WALK_LEN, WALK_SEED)
+
+
 ANF_REGS = 8
 # oracle superstep unroll; the sketch fixpoint is monotone, so extra
 # rounds past convergence are no-ops — keep >= the graph's diameter
@@ -1578,6 +1732,8 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q50_neighbor_jaccard": q_neighbor_jaccard,
     "q51_core_numbers": q_core_numbers,
     "q52_random_walks": q_random_walks,
+    "q72_weighted_walks": q_weighted_walks,
+    "q73_node2vec_walks": q_node2vec_walks,
     "q61_anf": q_anf,
     "q62_ktruss": q_ktruss,
     "q63_mis": q_mis,
@@ -1619,6 +1775,8 @@ GRAPH_ORACLES: dict[str, str] = {
     "q50_neighbor_jaccard": SQL_NEIGHBOR_JACCARD,
     "q51_core_numbers": SQL_CORE_NUMBERS,
     "q52_random_walks": SQL_RANDOM_WALKS,
+    "q72_weighted_walks": SQL_WEIGHTED_WALKS,
+    "q73_node2vec_walks": SQL_NODE2VEC_WALKS,
     "q61_anf": SQL_ANF,
     "q62_ktruss": SQL_KTRUSS,
     "q63_mis": SQL_MIS,
