@@ -50,12 +50,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #     round by tests/test_driver_parity.py (q20-q26/q45/q47/q48 tabular
 #     block; q09/q11/q12 subsumed by q37/q38/q28; q13/q15/q16/q19a/
 #     q19b/q27/q28/q29/q36/q41/q46 stable since round 1 or 2; q61_anf
-#     green in r3 and its machinery re-exercised in-cap by q65).
+#     green in r3 and its machinery re-exercised in-cap by q65; q17_bfs
+#     green r1-r3 with the same superstep skeleton as in-cap q19_sssp).
 #
 # Union across rounds 1-4 = every registered query driver-green at
 # least once.  Order within the tail: least-recently-green first.
 _DEFER_LAST = (
     "q61_anf",
+    "q17_bfs",
     "q13_degree_distribution",
     "q15_triangles_per_vertex",
     "q16_edges_enriched",

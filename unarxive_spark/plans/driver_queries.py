@@ -1349,6 +1349,90 @@ t{step} AS MATERIALIZED (
 SQL_NODE2VEC_WALKS = _sql_node2vec_walks(WALK_LEN, WALK_SEED)
 
 
+# engine max_rounds == oracle unroll → identical truncation; converged
+# states are stable under extra rounds (moves need a STRICT gain), so
+# early engine convergence cannot diverge from the fixed unroll
+LOUVAIN_ROUNDS = 6
+
+
+def q_louvain(spark, sf_dir):
+    """Louvain local-move community detection (operators/louvain.py):
+    synchronous parity-alternating rounds, exact integer gains
+    (2m·k_iC − k_i·Σ_tot), min-community tie-break. Oracle: the rounds
+    UNROLLED as MATERIALIZED CTEs running the identical gain/argmax
+    arithmetic."""
+    from unarxive_spark.operators.louvain import louvain
+
+    res = louvain(_edges(spark, sf_dir), max_rounds=LOUVAIN_ROUNDS)
+    return res.labels
+
+
+def _sql_louvain(rounds: int) -> str:
+    from unarxive_spark.functions.hashing import h64_sql
+
+    h = h64_sql("s.conv_id")
+    parts = [
+        """lund AS MATERIALIZED (
+  SELECT u, v, CAST(w AS BIGINT) AS w FROM (
+    SELECT u, v, sum(weight) AS w FROM (
+      SELECT src_conv_id AS u, dst_conv_id AS v, weight FROM edges
+      UNION ALL
+      SELECT dst_conv_id, src_conv_id, weight FROM edges
+    ) WHERE u != v GROUP BY 1, 2)
+),
+ldeg AS MATERIALIZED (
+  SELECT u AS conv_id, sum(w) AS k FROM lund GROUP BY 1),
+ltm AS MATERIALIZED (SELECT sum(k) AS tm FROM ldeg),
+st0 AS MATERIALIZED (SELECT conv_id, conv_id AS comm FROM ldeg)"""
+    ]
+    for r in range(rounds):
+        parts.append(f"""ct{r} AS (
+  SELECT s.comm, sum(d.k) AS tot
+  FROM st{r} s JOIN ldeg d USING (conv_id) GROUP BY 1
+),
+cd{r} AS (
+  SELECT conv_id, cand, sum(kic) AS kic FROM (
+    SELECT e.u AS conv_id, sv.comm AS cand, sum(e.w) AS kic
+    FROM lund e JOIN st{r} sv ON sv.conv_id = e.v GROUP BY 1, 2
+    UNION ALL
+    SELECT conv_id, comm, 0 FROM st{r}
+  ) GROUP BY 1, 2
+),
+g{r} AS MATERIALIZED (
+  SELECT c.conv_id, c.cand, s.comm,
+         (SELECT tm FROM ltm) * c.kic
+           - d.k * (t.tot - CASE WHEN c.cand = s.comm
+                                 THEN d.k ELSE 0 END) AS gain
+  FROM cd{r} c
+  JOIN st{r} s USING (conv_id)
+  JOIN ldeg d USING (conv_id)
+  JOIN ct{r} t ON t.comm = c.cand
+),
+b{r} AS (
+  SELECT conv_id, cand AS bcand, gain AS bgain FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id
+                ORDER BY gain DESC, cand ASC) AS rn
+    FROM g{r}) WHERE rn = 1
+),
+st{r + 1} AS MATERIALIZED (
+  SELECT s.conv_id,
+         CASE WHEN ({h}) % 2 = {r % 2} AND b.bgain > sg.gain
+              THEN b.bcand ELSE s.comm END AS comm
+  FROM st{r} s
+  JOIN b{r} b USING (conv_id)
+  JOIN (SELECT conv_id, gain FROM g{r} WHERE cand = comm) sg
+    USING (conv_id)
+)""")
+    ctes = ",\n".join(parts)
+    return (
+        f"{GRAPH_PREFIX},\n{ctes}\n"
+        f"SELECT conv_id, comm FROM st{rounds}"
+    )
+
+
+SQL_LOUVAIN = _sql_louvain(LOUVAIN_ROUNDS)
+
+
 ANF_REGS = 8
 # oracle superstep unroll; the sketch fixpoint is monotone, so extra
 # rounds past convergence are no-ops — keep >= the graph's diameter
@@ -1734,6 +1818,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_random_walks": q_random_walks,
     "q72_weighted_walks": q_weighted_walks,
     "q73_node2vec_walks": q_node2vec_walks,
+    "q74_louvain": q_louvain,
     "q61_anf": q_anf,
     "q62_ktruss": q_ktruss,
     "q63_mis": q_mis,
@@ -1777,6 +1862,7 @@ GRAPH_ORACLES: dict[str, str] = {
     "q52_random_walks": SQL_RANDOM_WALKS,
     "q72_weighted_walks": SQL_WEIGHTED_WALKS,
     "q73_node2vec_walks": SQL_NODE2VEC_WALKS,
+    "q74_louvain": SQL_LOUVAIN,
     "q61_anf": SQL_ANF,
     "q62_ktruss": SQL_KTRUSS,
     "q63_mis": SQL_MIS,
