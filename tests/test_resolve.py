@@ -97,6 +97,15 @@ def test_transliterate_multi_script(spark):
         ("Щедрин", "Shchedrin"),
         ("Ψηφιακή ανάλυση", "Psephiake analuse"),
         ("Αρχιμήδης", "Arkhimedes"),
+        # Arabic / Hebrew / kana / Hangul (round-4 tail extension)
+        ("محمد", "mhmd"),
+        ("الخوارزمي", "alkhwarzmy"),
+        ("אברהם", "'brhm"),
+        ("ひらがな", "hiragana"),
+        ("カタカナ", "katakana"),
+        ("トーキョー", "tokiyo"),  # per-char readings, like unidecode
+        ("김정은", "gimjeong-eun".replace("-", "")),
+        ("한글", "hangeul"),
         (None, None),
     ]
     df = spark.createDataFrame([(c[0],) for c in cases], "s string")

@@ -200,31 +200,105 @@ _TRANSLIT = {
     "С": "S", "Т": "T", "У": "U", "Ф": "F", "Х": "Kh", "Ц": "Ts",
     "Ч": "Ch", "Ш": "Sh", "Щ": "Shch", "Ъ": "", "Ы": "Y", "Ь": "",
     "Э": "E", "Ю": "Iu", "Я": "Ia",
+    # Arabic (isolated forms; hamza/ain → apostrophe like unidecode —
+    # the resolve normalizer scrubs quotes from join keys anyway)
+    "ا": "a", "ب": "b", "ت": "t", "ث": "th", "ج": "j", "ح": "h",
+    "خ": "kh", "د": "d", "ذ": "dh", "ر": "r", "ز": "z", "س": "s",
+    "ش": "sh", "ص": "s", "ض": "d", "ط": "t", "ظ": "z", "ع": "'",
+    "غ": "gh", "ف": "f", "ق": "q", "ك": "k", "ل": "l", "م": "m",
+    "ن": "n", "ه": "h", "و": "w", "ي": "y", "ء": "'", "آ": "a",
+    "أ": "a", "إ": "i", "ؤ": "w", "ئ": "y", "ة": "h", "ى": "a",
+    # Hebrew
+    "א": "'", "ב": "b", "ג": "g", "ד": "d", "ה": "h", "ו": "v",
+    "ז": "z", "ח": "kh", "ט": "t", "י": "y", "כ": "k", "ך": "k",
+    "ל": "l", "מ": "m", "ם": "m", "נ": "n", "ן": "n", "ס": "s",
+    "ע": "'", "פ": "p", "ף": "p", "צ": "ts", "ץ": "ts", "ק": "q",
+    "ר": "r", "ש": "sh", "ת": "t",
+    # Japanese long-vowel mark (per-char romaji below)
+    "ー": "",
 }
+
+# Hiragana → romaji, per character (katakana maps onto hiragana by the
+# fixed 0x60 code-point offset before lookup).  Per-char readings like
+# unidecode's — context digraphs (きゃ → kya) come out as "kiya", which
+# is what unidecode produces too.
+_KANA = dict(
+    zip(
+        "あいうえおかきくけこさしすせそたちつてとなにぬねの"
+        "はひふへほまみむめもやゆよらりるれろわをん"
+        "がぎぐげござじずぜぞだぢづでどばびぶべぼぱぴぷぺぽ"
+        "ゃゅょっぁぃぅぇぉ",
+        (
+            "a i u e o ka ki ku ke ko sa shi su se so ta chi tsu te to "
+            "na ni nu ne no ha hi fu he ho ma mi mu me mo ya yu yo "
+            "ra ri ru re ro wa wo n "
+            "ga gi gu ge go za ji zu ze zo da ji zu de do "
+            "ba bi bu be bo pa pi pu pe po "
+            "ya yu yo tsu a i u e o"
+        ).split(),
+    )
+)
+_TRANSLIT.update(_KANA)
 _TRANSLIT_TABLE = str.maketrans(_TRANSLIT)
+
+# Hangul is ALGORITHMIC: every syllable U+AC00..U+D7A3 decomposes
+# arithmetically into (lead, vowel, tail) jamo — no data table needed
+# (the same revised-romanization decomposition unidecode ships).
+_HANGUL_L = ("g kk n d tt r m b pp s ss - j jj ch k t p h").split()
+_HANGUL_L[11] = ""  # ieung: silent lead
+_HANGUL_V = (
+    "a ae ya yae eo e yeo ye o wa wae oe yo u wo we wi yu eu ui i"
+).split()
+_HANGUL_T = (
+    "- g kk gs n nj nh d l lg lm lb ls lt lp lh m b bs s ss ng j ch "
+    "k t p h"
+).split()
+_HANGUL_T[0] = ""
 
 
 @pandas_udf(StringType())
 def transliterate(s: pd.Series) -> pd.Series:
     """Transliteration (P16 unidecode analog,
     /root/reference/src/match_references_openalex.py:214-227): NFD
-    decompose, drop combining marks, then map the common
-    non-decomposable Latin-extended/Greek/Cyrillic letters to ASCII via
-    a built-in table (the reference uses the unidecode package; this
-    covers its behavior for the scripts that actually appear in
-    bibliographic join keys). Arrow-batched pandas UDF — the one
-    transform with no JVM built-in equivalent."""
+    decompose, drop combining marks, then map
+    Latin-extended/Greek/Cyrillic/Arabic/Hebrew/kana letters to ASCII
+    via a built-in table, and Hangul syllables via the arithmetic jamo
+    decomposition (the reference uses the unidecode package; this
+    covers its behavior for the scripts that appear in bibliographic
+    join keys — Han/CJK ideographs need unidecode's per-character
+    reading database and pass through unchanged, documented as out of
+    scope in COVERAGE.md). Arrow-batched pandas UDF — the one transform
+    with no JVM built-in equivalent."""
     import unicodedata
 
     def strip(x):
         if x is None:
             return None
-        stripped = "".join(
-            ch
-            for ch in unicodedata.normalize("NFD", x)
-            if not unicodedata.combining(ch)
-        )
-        return stripped.translate(_TRANSLIT_TABLE)
+        # NFC FIRST: a blanket NFD would tear voiced kana (が → か +
+        # U+3099) and Hangul syllables (김 → conjoining jamo) apart
+        # before the table/arithmetic paths can see them; accents on
+        # Latin/Greek/Cyrillic are instead decomposed PER CHARACTER
+        # below, only for characters the table doesn't already map.
+        out = []
+        for ch in unicodedata.normalize("NFC", x):
+            o = ord(ch)
+            if 0x30A1 <= o <= 0x30F6:  # katakana → hiragana row
+                ch = chr(o - 0x60)
+            elif 0xAC00 <= o <= 0xD7A3:  # Hangul syllable → jamo romaja
+                i = o - 0xAC00
+                out.append(
+                    _HANGUL_L[i // 588]
+                    + _HANGUL_V[(i % 588) // 28]
+                    + _HANGUL_T[i % 28]
+                )
+                continue
+            if ch in _TRANSLIT:
+                out.append(_TRANSLIT[ch])
+                continue
+            for sub in unicodedata.normalize("NFD", ch):
+                if not unicodedata.combining(sub):
+                    out.append(_TRANSLIT.get(sub, sub))
+        return "".join(out)
 
     return s.map(strip)
 
