@@ -122,6 +122,41 @@ def extended_queries(spark) -> dict[str, float]:
         ("anf", q_anf),
     ):
         _, times[name] = _timed(lambda q=q: q(spark, SF_DIR).count())
+    # round-4 additions
+    from unarxive_spark.plans.driver_queries import (
+        q_louvain,
+        q_node2vec_walks,
+        q_weighted_walks,
+    )
+    from unarxive_spark.plans.tabular_queries import q_qdigest_state
+
+    for name, q in (
+        ("qdigest", q_qdigest_state),
+        ("weighted_walks", q_weighted_walks),
+        ("node2vec_walks", q_node2vec_walks),
+        ("louvain", q_louvain),
+    ):
+        _, times[name] = _timed(lambda q=q: q(spark, SF_DIR).count())
+    # PPJoin crossover check at bench scale (round-3 verdict #8): q33
+    # ships length-only as long as the prefix path stays slower here
+    from unarxive_spark.operators.dedup import ngram_jaccard_pairs
+    from unarxive_spark.plans.tabular_queries import JACCARD_THRESHOLD
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    docs.count()
+    for name, kw in (
+        ("jaccard_length_only", dict(length_filter=True)),
+        (
+            "jaccard_prefix_positional",
+            dict(length_filter=True, prefix_filter=True, positional=True),
+        ),
+    ):
+        _, times[name] = _timed(
+            lambda kw=kw: ngram_jaccard_pairs(
+                docs, threshold=JACCARD_THRESHOLD, **kw
+            ).count()
+        )
+    docs.unpersist()
     return times
 
 

@@ -393,7 +393,13 @@ def q_jaccard_pairs(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs (inverted-index join with the
     lossless length filter — t·|A| ≤ |B| ≤ |A|/t folded into the
     candidate join; identical results to the unfiltered join, which the
-    oracle SQL computes)."""
+    oracle SQL computes).
+
+    Stays length-only: the PPJoin prefix+positional path was re-measured
+    at the bench corpus (sf0.1, round 4): 5.8 s vs 7.5-8.3 s warm — the
+    prefix's extra ranked-posting build doesn't pay until collision
+    density is far higher (bench.py records both each round as
+    ``jaccard_length_only`` / ``jaccard_prefix_positional``)."""
     from unarxive_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
