@@ -51,13 +51,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #     block; q09/q11/q12 subsumed by q37/q38/q28; q13/q15/q16/q19a/
 #     q19b/q27/q28/q29/q36/q41/q46 stable since round 1 or 2; q61_anf
 #     green in r3 and its machinery re-exercised in-cap by q65; q17_bfs
-#     green r1-r3 with the same superstep skeleton as in-cap q19_sssp).
+#     green r1-r3 with the same superstep skeleton as in-cap q19_sssp;
+#     q04/q07/q18 green r1-r3 — top-k now also evidenced by q77, the
+#     triangle machinery by the k-truss row q62).
 #
 # Union across rounds 1-4 = every registered query driver-green at
 # least once.  Order within the tail: least-recently-green first.
 _DEFER_LAST = (
     "q61_anf",
     "q17_bfs",
+    "q04_degree_topk",
+    "q07_triangles",
+    "q18_graph_stats",
     "q13_degree_distribution",
     "q15_triangles_per_vertex",
     "q16_edges_enriched",

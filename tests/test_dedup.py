@@ -154,3 +154,32 @@ def test_prefix_filter_is_lossless(docs_with_dups):
             ).collect()
         }
         assert positional == plain, thr
+
+
+def test_dedup_clusters_transitive_collapse(spark):
+    """A~B and B~C (A~C never generated) must collapse to ONE survivor
+    (the min id); untouched docs are kept singletons."""
+    from unarxive_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 5)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(2, 3), (3, 1), (4, 5)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_rep"], r["is_kept"])
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    assert got == {
+        1: (1, 1), 2: (1, 0), 3: (1, 0), 4: (4, 1), 5: (4, 0),
+    }
+
+
+def test_dedup_clusters_empty_pairs(spark):
+    from unarxive_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(7,), (8,)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    got = {r["doc_id"]: r["is_kept"] for r in dedup_clusters(docs, pairs).collect()}
+    assert got == {7: 1, 8: 1}

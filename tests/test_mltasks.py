@@ -129,3 +129,37 @@ def test_stratified_minima_deterministic_across_partitioning(spark):
         )
     )
     assert a == b
+
+
+def test_priority_sample_matches_plain_bottom_k(spark):
+    """Two-stage de-skewed sample == plain per-group bottom-k by
+    (h64(key), key); deterministic across reruns."""
+    import hashlib
+
+    from unarxive_spark.operators.mltasks import priority_sample
+
+    rows = [(g, i) for g in ("x", "y") for i in range(40)]
+    df = spark.createDataFrame(rows, "grp string, key long")
+
+    def h(s):
+        return int(hashlib.md5(str(s).encode()).hexdigest()[:15], 16)
+
+    want = {
+        g: sorted(
+            (i for gg, i in rows if gg == g),
+            key=lambda i: (h(i), i),
+        )[:5]
+        for g in ("x", "y")
+    }
+    got = {}
+    for r in priority_sample(df, 5, ["grp"], "key").collect():
+        got.setdefault(r["grp"], []).append(r["key"])
+    assert {g: sorted(v) for g, v in got.items()} == {
+        g: sorted(v) for g, v in want.items()
+    }
+    rerun = {}
+    for r in priority_sample(df, 5, ["grp"], "key").collect():
+        rerun.setdefault(r["grp"], []).append(r["key"])
+    assert {g: sorted(v) for g, v in rerun.items()} == {
+        g: sorted(v) for g, v in got.items()
+    }

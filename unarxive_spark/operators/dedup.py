@@ -523,3 +523,48 @@ def embedding_dup_pairs(
         F.col("r.id").alias("id_b"),
         (dot / (F.col("l.norm") * F.col("r.norm"))).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs → clusters → one survivor per cluster.
+
+    The step every dedup pipeline needs AFTER candidate verification:
+    near-duplicate relations are not transitive pairwise decisions — A~B
+    and B~C must collapse into ONE kept document even when A~C was never
+    generated.  Clusters are the connected components of the pair graph
+    (hash-min supersteps with pointer jumping, ``operators/components``);
+    the survivor is the MINIMUM id in each cluster (deterministic,
+    content-addressed — no rand()).
+
+    → ``(id_col, cluster_rep, is_kept int)`` for EVERY input doc
+    (docs outside any pair are their own singleton cluster, kept).
+
+    100-TB shape: the pair graph is tiny relative to the corpus (only
+    verified near-dups), so the component supersteps run on
+    pair-vertices only; the final assignment is one broadcast-or-hash
+    left join of the corpus against the label table.
+    """
+    from unarxive_spark.operators.components import connected_components
+
+    edges = pairs.select(
+        F.col("id_a").alias("src_conv_id"),
+        F.col("id_b").alias("dst_conv_id"),
+    )
+    labels = connected_components(edges, shortcut=True).components.select(
+        F.col("conv_id").alias(id_col),
+        F.col("component").alias("_rep"),
+    )
+    rep = F.coalesce(F.col("_rep"), F.col(id_col))
+    return (
+        docs.select(id_col)
+        .join(labels, id_col, "left")
+        .select(
+            id_col,
+            rep.alias("cluster_rep"),
+            (rep == F.col(id_col)).cast("int").alias("is_kept"),
+        )
+    )

@@ -149,3 +149,44 @@ def split_distribution(split_df: DataFrame) -> DataFrame:
         "n",
         F.round(F.col("n") / F.col("total"), 4).alias("share"),
     )
+
+
+def priority_sample(
+    df,
+    k: int,
+    group_cols,
+    key_col: str,
+    n_shards: int = 16,
+):
+    """Deterministic per-group bottom-k sample (priority sampling on the
+    portable h64): keep the ``k`` rows with the smallest
+    ``(h64(key), key)`` per group — a uniform random sample that is a
+    PURE FUNCTION of the data (reruns, resumes, and the DuckDB oracle
+    reproduce it row-for-row; same discipline as the stratified split).
+
+    Skew shape: a plain ``row_number() over (partition by group order by
+    h64)`` sorts each group's ENTIRE membership in one task.  Two-stage
+    instead (the walks-rank pattern): rank within (group, h64 % shards)
+    — bounded per-task work — keep k per shard, then rank the ≤
+    shards·k survivors per group.  Lossless: the global bottom-k is
+    contained in the per-shard bottom-k union.
+    """
+    from pyspark.sql import Window
+
+    from unarxive_spark.functions.hashing import h64
+
+    g = list(group_cols)
+    pri = h64(F.col(key_col).cast("string"))
+    sharded = df.withColumn("_pri", pri).withColumn(
+        "_sh", F.pmod(F.col("_pri"), F.lit(int(n_shards)))
+    )
+    w_sh = Window.partitionBy(*g, "_sh").orderBy("_pri", key_col)
+    survivors = sharded.withColumn(
+        "_rk", F.row_number().over(w_sh)
+    ).filter(F.col("_rk") <= k)
+    w_g = Window.partitionBy(*g).orderBy("_pri", key_col)
+    return (
+        survivors.withColumn("_grk", F.row_number().over(w_g))
+        .filter(F.col("_grk") <= k)
+        .drop("_pri", "_sh", "_rk", "_grk")
+    )

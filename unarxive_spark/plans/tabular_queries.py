@@ -1391,6 +1391,148 @@ def _sql_qdigest_quantiles() -> str:
 SQL_QDIGEST_QUANTILES = _sql_qdigest_quantiles()
 
 
+# strong near-dups only: cluster edges are pairs with J >= 0.5
+DEDUP_CLUSTER_T = 0.5
+DEDUP_WCC_ROUNDS = 6
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → connected clusters → one kept survivor per
+    cluster (min doc id): the collapse step after candidate
+    verification — A~B and B~C must keep exactly one of {A,B,C} even
+    though A~C was never generated. Oracle: the same Jaccard pair SQL +
+    hash-min WCC rounds UNROLLED (with a fixpoint sentinel) + the same
+    min-id survivor rule."""
+    from unarxive_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, threshold=DEDUP_CLUSTER_T, length_filter=True
+    )
+    return dedup_clusters(d, pairs)
+
+
+def _sql_dedup_clusters(rounds: int) -> str:
+    parts = [
+        f"""sh AS (
+  SELECT DISTINCT doc_id AS id, unnest({_shingles_sql("text")}) AS shingle
+  FROM documents
+),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+jp AS MATERIALIZED (
+  SELECT id_a, id_b FROM (
+    SELECT l.id AS id_a, r.id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+    FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.id < r.id
+    GROUP BY 1, 2
+  ) s
+  JOIN sizes sa ON sa.id = s.id_a
+  JOIN sizes sb ON sb.id = s.id_b
+  WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared)
+        >= {DEDUP_CLUSTER_T!r}e0
+),
+dde AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM jp
+  UNION
+  SELECT id_b, id_a FROM jp
+),
+dl0 AS MATERIALIZED (
+  SELECT u AS id, u AS lbl FROM (SELECT DISTINCT u FROM dde)
+)"""
+    ]
+    for r in range(rounds):
+        parts.append(f"""dl{r + 1} AS MATERIALIZED (
+  SELECT l.id, LEAST(l.lbl, coalesce(min(nl.lbl), l.lbl)) AS lbl
+  FROM dl{r} l
+  LEFT JOIN dde e ON e.u = l.id
+  LEFT JOIN dl{r} nl ON nl.id = e.v
+  GROUP BY l.id, l.lbl
+)""")
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT d.doc_id,
+       coalesce(l.lbl, d.doc_id) AS cluster_rep,
+       CAST(CASE WHEN coalesce(l.lbl, d.doc_id) = d.doc_id
+                 THEN 1 ELSE 0 END AS INT) AS is_kept
+FROM documents d
+LEFT JOIN dl{rounds} l ON l.id = d.doc_id
+UNION ALL
+-- fixpoint sentinel (doc ids are BIGINT, so the poison row is numeric)
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS INT)
+WHERE EXISTS (SELECT 1 FROM dl{rounds} a
+              JOIN dl{rounds - 1} b ON b.id = a.id
+              WHERE a.lbl != b.lbl)"""
+
+
+SQL_DEDUP_CLUSTERS = _sql_dedup_clusters(DEDUP_WCC_ROUNDS)
+
+
+SAMPLE_K = 20
+
+
+def q_priority_sample(spark, sf_dir):
+    """Deterministic per-group bottom-k sample (h64 priority order,
+    two-stage de-skewed rank). The uniform-sample primitive a
+    training-data pipeline needs next to the stratified split — and
+    reruns reproduce it row-for-row."""
+    from unarxive_spark.operators.mltasks import priority_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return priority_sample(
+        d.select("lang", "doc_id"), SAMPLE_K, ["lang"], "doc_id"
+    )
+
+
+def _sql_priority_sample() -> str:
+    from unarxive_spark.functions.hashing import h64_sql
+
+    h = h64_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {h}, doc_id) AS rk
+  FROM documents
+) WHERE rk <= {SAMPLE_K}"""
+
+
+SQL_PRIORITY_SAMPLE = _sql_priority_sample()
+
+
+VOCAB_K = 50
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary top-k: whitespace tokens (same tokenizer as
+    the q27 text features), global counts, deterministic order
+    (count desc, token asc) — the vocab-building pass of a tokenizer
+    training pipeline, as one explode + map-side-combinable count +
+    TakeOrderedAndProject."""
+    from unarxive_spark.functions.texttools import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(VOCAB_K)
+    )
+
+
+SQL_VOCAB_TOPK = f"""
+SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT unnest(list_filter(
+           string_split_regex(trim(lower(text)), '\\s+'),
+           t -> t != '')) AS token
+  FROM documents
+) GROUP BY 1
+ORDER BY n DESC, token ASC
+LIMIT {VOCAB_K}"""
+
+
 SQL_RANGE_JOIN = """
 SELECT e.event_id, e.user_id,
        CAST(count(p.pid) AS BIGINT) AS n_purchases,
@@ -1440,6 +1582,9 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_bloom_semijoin": q_bloom_semijoin,
     "q70_qdigest_state": q_qdigest_state,
     "q71_qdigest_quantiles": q_qdigest_quantiles,
+    "q75_dedup_clusters": q_dedup_clusters,
+    "q76_priority_sample": q_priority_sample,
+    "q77_vocab_topk": q_vocab_topk,
 }
 
 TABULAR_ORACLES: dict[str, str] = {
@@ -1478,4 +1623,7 @@ TABULAR_ORACLES: dict[str, str] = {
     "q68_bloom_semijoin": SQL_BLOOM_SEMIJOIN,
     "q70_qdigest_state": SQL_QDIGEST_STATE,
     "q71_qdigest_quantiles": SQL_QDIGEST_QUANTILES,
+    "q75_dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "q76_priority_sample": SQL_PRIORITY_SAMPLE,
+    "q77_vocab_topk": SQL_VOCAB_TOPK,
 }
