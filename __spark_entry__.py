@@ -63,6 +63,7 @@ _DEFER_LAST = (
     "q04_degree_topk",
     "q07_triangles",
     "q18_graph_stats",
+    "q10_group_rollup",
     "q13_degree_distribution",
     "q15_triangles_per_vertex",
     "q16_edges_enriched",

@@ -183,3 +183,34 @@ def test_dedup_clusters_empty_pairs(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     got = {r["doc_id"]: r["is_kept"] for r in dedup_clusters(docs, pairs).collect()}
     assert got == {7: 1, 8: 1}
+
+
+def test_containment_catches_embedded_subset(spark):
+    """A short doc embedded verbatim in a long one: Jaccard ~ |A|/|B| is
+    tiny but containment(A→B) = 1.0 — the directional signal."""
+    from unarxive_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(200))
+    rows = [
+        (1, short),
+        (2, filler + " " + short + " " + filler),
+        (3, "totally unrelated words here only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["cont_a_in_b"], r["cont_b_in_a"])
+        for r in containment_pairs(df, threshold=0.9).collect()
+    }
+    assert (1, 2) in got
+    c_ab, c_ba = got[(1, 2)]
+    assert c_ab == 1.0 and c_ba < 0.1
+    # symmetric jaccard would never have flagged this pair at 0.9
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, threshold=0.9).collect()
+    }
+    assert (1, 2) not in jac

@@ -568,3 +568,62 @@ def dedup_clusters(
             (rep == F.col(id_col)).cast("int").alias("is_kept"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Directional near-dup: shingle CONTAINMENT C(A→B) = |A∩B| / |A|.
+
+    Symmetric Jaccard misses the subset case a dedup pipeline cares
+    about most — a short document embedded verbatim inside a much longer
+    one scores J = |A|/|B| ≈ 0 but C(A→B) = 1.  Emits every pair whose
+    LARGER containment (i.e. shared / min(|A|, |B|)) reaches the
+    threshold, with both directions reported.
+
+    Same scale shape as the Jaccard join (inverted index on the 8-byte
+    shingle hash, quadratic only within posting lists); deliberately NO
+    length-ratio prune — asymmetric sizes are exactly the signal here,
+    so the only lossless prune is sharing ≥ 1 shingle.
+    """
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(text_col, k=k)).alias("_s"),
+        )
+        .select("id", h64(F.col("_s")).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    shared = (
+        sh.alias("l")
+        .join(
+            sh.alias("r"),
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .groupBy(
+            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    c_ab = F.col("n_shared") / F.col("na")
+    c_ba = F.col("n_shared") / F.col("nb")
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.greatest(c_ab, c_ba) >= F.lit(threshold))
+        .select(
+            "id_a",
+            "id_b",
+            c_ab.alias("cont_a_in_b"),
+            c_ba.alias("cont_b_in_a"),
+        )
+    )

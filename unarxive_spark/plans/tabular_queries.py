@@ -1469,6 +1469,46 @@ WHERE EXISTS (SELECT 1 FROM dl{rounds} a
 SQL_DEDUP_CLUSTERS = _sql_dedup_clusters(DEDUP_WCC_ROUNDS)
 
 
+CONTAINMENT_T = 0.8
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Directional containment near-dups (C(A→B) = |A∩B|/|A|): catches
+    a short document embedded verbatim in a longer one, which symmetric
+    Jaccard scores near 0. Oracle: the same inverted-index counting in
+    DuckDB."""
+    from unarxive_spark.operators.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return containment_pairs(d, threshold=CONTAINMENT_T).select(
+        "id_a",
+        "id_b",
+        F.round("cont_a_in_b", 6).alias("cont_a_in_b"),
+        F.round("cont_b_in_a", 6).alias("cont_b_in_a"),
+    )
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS id, unnest({_shingles_sql("text")}) AS shingle
+  FROM documents
+),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+  SELECT l.id AS id_a, r.id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.id < r.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(n_shared AS DOUBLE) / sa.n_sh, 6) AS cont_a_in_b,
+       round(CAST(n_shared AS DOUBLE) / sb.n_sh, 6) AS cont_b_in_a
+FROM shared
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE GREATEST(CAST(n_shared AS DOUBLE) / sa.n_sh,
+               CAST(n_shared AS DOUBLE) / sb.n_sh) >= {CONTAINMENT_T!r}e0"""
+
+
 SAMPLE_K = 20
 
 
@@ -1585,6 +1625,7 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_dedup_clusters": q_dedup_clusters,
     "q76_priority_sample": q_priority_sample,
     "q77_vocab_topk": q_vocab_topk,
+    "q78_containment_pairs": q_containment_pairs,
 }
 
 TABULAR_ORACLES: dict[str, str] = {
@@ -1626,4 +1667,5 @@ TABULAR_ORACLES: dict[str, str] = {
     "q75_dedup_clusters": SQL_DEDUP_CLUSTERS,
     "q76_priority_sample": SQL_PRIORITY_SAMPLE,
     "q77_vocab_topk": SQL_VOCAB_TOPK,
+    "q78_containment_pairs": SQL_CONTAINMENT_PAIRS,
 }
