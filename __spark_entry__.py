@@ -64,6 +64,7 @@ _DEFER_LAST = (
     "q07_triangles",
     "q18_graph_stats",
     "q10_group_rollup",
+    "q30_exact_dup_stats",
     "q13_degree_distribution",
     "q15_triangles_per_vertex",
     "q16_edges_enriched",

@@ -84,3 +84,34 @@ def test_modularity_matches_oracle(spark, edges_small):
     want = _modularity_oracle(_rows(edges_small), labels)
     assert abs(q - want) < 1e-9
     assert -0.5 <= q <= 1.0
+
+
+def test_seeded_lpa_anchors_and_frontier(spark):
+    """Anchors never move; labels flood outward one hop per superstep;
+    unreached vertices stay NULL instead of inventing communities."""
+    from unarxive_spark.operators.lpa import seeded_label_propagation
+
+    # two chains from two anchors + one isolated pair
+    rows = [("a", "b", 1.0), ("b", "c", 1.0),
+            ("x", "y", 2.0), ("p", "q", 1.0)]
+    df = spark.createDataFrame(
+        rows, "src_conv_id string, dst_conv_id string, weight double"
+    )
+    seeds = spark.createDataFrame(
+        [("a", "A"), ("x", "X")], "conv_id string, label string"
+    )
+    res = seeded_label_propagation(df, seeds, n_iter=6)
+    got = {r["conv_id"]: r["label"] for r in res.labels.collect()}
+    assert got == {
+        "a": "A", "b": "A", "c": "A",
+        "x": "X", "y": "X",
+        "p": None, "q": None,
+    }
+    # tie case: vertex between two different anchors at equal weight
+    rows2 = [("a", "m", 1.0), ("x", "m", 1.0)]
+    df2 = spark.createDataFrame(
+        rows2, "src_conv_id string, dst_conv_id string, weight double"
+    )
+    res2 = seeded_label_propagation(df2, seeds, n_iter=3)
+    got2 = {r["conv_id"]: r["label"] for r in res2.labels.collect()}
+    assert got2["m"] == "A"  # min-label tie-break

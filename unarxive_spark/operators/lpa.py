@@ -113,3 +113,88 @@ def label_propagation(
         labels = new_m
 
     return LPAResult(labels, it + 1 if n_iter > start else 0)
+
+
+def seeded_label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 5,
+    checkpoint_dir: str | None = None,
+) -> LPAResult:
+    """Semi-supervised LPA: ``seeds`` (conv_id, label) are ANCHORS whose
+    labels never change; every other vertex starts unlabeled and adopts
+    the weighted-majority label of its labeled neighbors each superstep
+    (ties → min label, the repo-wide deterministic tie-break).
+
+    The standard "propagate known categories through the citation
+    graph" primitive: a handful of hand-labeled conversations color
+    their graph neighborhoods.  Unreached vertices stay NULL rather
+    than inventing a community — downstream filters can tell "no signal
+    yet" from "labeled".
+
+    Same per-superstep shape as plain LPA (one adjacency⋈labels join +
+    two map-side-combinable aggs); the anchor override is a broadcast-
+    sized left join, and convergence is label-change count == 0.
+    """
+    spark = edges.sparkSession
+    ckpt = CheckpointManager(spark, checkpoint_dir)
+
+    vertices = (
+        edges.select(F.col("src_conv_id").alias("conv_id"))
+        .unionByName(edges.select(F.col("dst_conv_id").alias("conv_id")))
+        .distinct()
+    )
+    adj = _undirected_weighted(edges).repartition("u").cache()
+    adj.count()
+    anchors = seeds.select(
+        "conv_id", F.col("label").alias("_seed")
+    ).cache()
+
+    labels = vertices.join(anchors, "conv_id", "left").select(
+        "conv_id", F.col("_seed").alias("label")
+    )
+
+    it = 0
+    for it in range(n_iter):
+        received = adj.join(
+            labels.filter(F.col("label").isNotNull()).withColumnRenamed(
+                "conv_id", "u"
+            ),
+            "u",
+        ).select(F.col("v").alias("conv_id"), "label", "w")
+        tallies = received.groupBy("conv_id", "label").agg(
+            F.sum("w").alias("tw")
+        )
+        winner = (
+            tallies.groupBy("conv_id")
+            .agg(
+                F.min(
+                    F.struct((-F.col("tw")).alias("nw"), F.col("label"))
+                ).alias("m")
+            )
+            .select("conv_id", F.col("m.label").alias("_win"))
+        )
+        new_labels = (
+            vertices.join(winner, "conv_id", "left")
+            .join(anchors, "conv_id", "left")
+            .select(
+                "conv_id",
+                F.coalesce(F.col("_seed"), F.col("_win")).alias("label"),
+            )
+        )
+        new_m = ckpt.write_state(it, new_labels)
+        n_changed = (
+            new_m.alias("n")
+            .join(labels.alias("o"), "conv_id")
+            .filter(
+                ~F.col("n.label").eqNullSafe(F.col("o.label"))
+            )
+            .count()
+        )
+        ckpt.log_lineage(it, new_m, "n_changed", float(n_changed))
+        labels = new_m
+        if n_changed == 0:
+            break
+    anchors.unpersist()
+    adj.unpersist()
+    return LPAResult(labels=labels, iterations=it + 1)

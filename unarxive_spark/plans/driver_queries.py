@@ -23,6 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from unarxive_spark.functions.hashing import h64
 from unarxive_spark.functions.refs import extract_ref_ids
 from unarxive_spark.operators import degrees as deg
 from unarxive_spark.operators.edges import build_edges
@@ -1433,6 +1434,83 @@ st{r + 1} AS MATERIALIZED (
 SQL_LOUVAIN = _sql_louvain(LOUVAIN_ROUNDS)
 
 
+SEEDED_ANCHORS = 8
+SEEDED_ROUNDS = 6
+
+
+def q_seeded_lpa(spark, sf_dir):
+    """Semi-supervised LPA (operators/lpa.py::seeded_label_propagation):
+    the 8 min-h64 vertices anchor their own id as label; everyone else
+    starts NULL and adopts the weighted-majority label of labeled
+    neighbors (ties → min label); anchors never move; unreached
+    vertices stay NULL. Oracle: rounds unrolled with the identical
+    argmax windows."""
+    from unarxive_spark.operators.lpa import seeded_label_propagation
+
+    e = _edges(spark, sf_dir)
+    verts = (
+        e.select(F.col("src_conv_id").alias("conv_id"))
+        .unionByName(e.select(F.col("dst_conv_id").alias("conv_id")))
+        .distinct()
+    )
+    seeds = (
+        verts.orderBy(h64(F.col("conv_id")), "conv_id")
+        .limit(SEEDED_ANCHORS)
+        .select("conv_id", F.col("conv_id").alias("label"))
+    )
+    res = seeded_label_propagation(e, seeds, n_iter=SEEDED_ROUNDS)
+    return res.labels
+
+
+def _sql_seeded_lpa(rounds: int, k: int) -> str:
+    from unarxive_spark.functions.hashing import h64_sql
+
+    h = h64_sql("conv_id")
+    parts = [
+        f"""sundw AS MATERIALIZED (
+  SELECT u, v, SUM(weight) AS w FROM (
+    SELECT src_conv_id AS u, dst_conv_id AS v, weight FROM edges
+    UNION ALL
+    SELECT dst_conv_id, src_conv_id, weight FROM edges
+  ) WHERE u != v GROUP BY 1, 2
+),
+sverts AS MATERIALIZED (SELECT DISTINCT u AS conv_id FROM sundw),
+anch AS MATERIALIZED (
+  SELECT conv_id, conv_id AS label FROM sverts
+  ORDER BY {h}, conv_id LIMIT {k}
+),
+sl0 AS MATERIALIZED (
+  SELECT v.conv_id, a.label FROM sverts v
+  LEFT JOIN anch a ON a.conv_id = v.conv_id
+)"""
+    ]
+    for r in range(rounds):
+        parts.append(f"""sw{r} AS (
+  SELECT conv_id, label FROM (
+    SELECT a.v AS conv_id, l.label,
+           row_number() OVER (PARTITION BY a.v
+                              ORDER BY SUM(a.w) DESC, l.label ASC) AS rn
+    FROM sundw a JOIN sl{r} l ON l.conv_id = a.u
+    WHERE l.label IS NOT NULL
+    GROUP BY a.v, l.label
+  ) WHERE rn = 1
+),
+sl{r + 1} AS MATERIALIZED (
+  SELECT v.conv_id, COALESCE(an.label, w.label) AS label
+  FROM sverts v
+  LEFT JOIN anch an ON an.conv_id = v.conv_id
+  LEFT JOIN sw{r} w ON w.conv_id = v.conv_id
+)""")
+    ctes = ",\n".join(parts)
+    return (
+        f"{GRAPH_PREFIX},\n{ctes}\n"
+        f"SELECT conv_id, label FROM sl{rounds}"
+    )
+
+
+SQL_SEEDED_LPA = _sql_seeded_lpa(SEEDED_ROUNDS, SEEDED_ANCHORS)
+
+
 ANF_REGS = 8
 # oracle superstep unroll; the sketch fixpoint is monotone, so extra
 # rounds past convergence are no-ops — keep >= the graph's diameter
@@ -1819,6 +1897,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q72_weighted_walks": q_weighted_walks,
     "q73_node2vec_walks": q_node2vec_walks,
     "q74_louvain": q_louvain,
+    "q79_seeded_lpa": q_seeded_lpa,
     "q61_anf": q_anf,
     "q62_ktruss": q_ktruss,
     "q63_mis": q_mis,
@@ -1863,6 +1942,7 @@ GRAPH_ORACLES: dict[str, str] = {
     "q72_weighted_walks": SQL_WEIGHTED_WALKS,
     "q73_node2vec_walks": SQL_NODE2VEC_WALKS,
     "q74_louvain": SQL_LOUVAIN,
+    "q79_seeded_lpa": SQL_SEEDED_LPA,
     "q61_anf": SQL_ANF,
     "q62_ktruss": SQL_KTRUSS,
     "q63_mis": SQL_MIS,
