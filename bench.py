@@ -122,7 +122,17 @@ def extended_queries(spark) -> dict[str, float]:
         ("anf", q_anf),
     ):
         _, times[name] = _timed(lambda q=q: q(spark, SF_DIR).count())
-    # round-4 additions
+    # round-4 additions — fresh session: the superstep loops above and
+    # below leave localCheckpoint state cached (unpersisting it would be
+    # unsafe: lineage is truncated, and convergence metrics join the
+    # previous state after the new write), so isolation is the honest
+    # way to keep these timings comparable across rounds
+    stop_spark()
+    spark = get_spark(
+        master=f"local[{CPUS}]",
+        app_name="bench-ext4",
+        shuffle_partitions=CPUS,
+    )
     from unarxive_spark.plans.driver_queries import (
         q_louvain,
         q_node2vec_walks,
@@ -138,10 +148,20 @@ def extended_queries(spark) -> dict[str, float]:
     ):
         _, times[name] = _timed(lambda q=q: q(spark, SF_DIR).count())
     # PPJoin crossover check at bench scale (round-3 verdict #8): q33
-    # ships length-only as long as the prefix path stays slower here
+    # ships length-only as long as the prefix path stays slower here.
+    # Fresh session first: the superstep operators above leave rounds of
+    # localCheckpoint RDDs cached, and the resulting memory pressure
+    # poisoned this comparison 8x in the first r4 run (59.7 s vs 5.9 s
+    # measured clean).
     from unarxive_spark.operators.dedup import ngram_jaccard_pairs
     from unarxive_spark.plans.tabular_queries import JACCARD_THRESHOLD
 
+    stop_spark()
+    spark = get_spark(
+        master=f"local[{CPUS}]",
+        app_name="bench-xover",
+        shuffle_partitions=CPUS,
+    )
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
     docs.count()
     for name, kw in (
