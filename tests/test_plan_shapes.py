@@ -120,3 +120,76 @@ def test_ann_and_embedding_dedup_are_bucketed(spark):
         "BroadcastNestedLoopJoin" in exact_plan
         or "CartesianProduct" in exact_plan
     )
+
+
+def test_round4_operator_plans_have_no_quadratic_joins(spark):
+    """Round-4 additions must keep the candidate-by-key-equality
+    discipline: no BroadcastNestedLoopJoin / CartesianProduct anywhere
+    in the q-digest build, weighted/node2vec walk steps, Louvain round,
+    containment join, dedup-cluster assignment, or priority sample."""
+    from unarxive_spark.operators.dedup import (
+        containment_pairs,
+        dedup_clusters,
+    )
+    from unarxive_spark.operators.mltasks import priority_sample
+    from unarxive_spark.operators.qdigest import qdigest
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+
+    for df in (
+        qdigest(ev, "value", ["event_type"], k=16, bits=8),
+        containment_pairs(docs, threshold=0.8),
+        priority_sample(docs.select("lang", "doc_id"), 5, ["lang"], "doc_id"),
+    ):
+        plan = _plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    plan = _plan(dedup_clusters(docs.select("doc_id"), pairs))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_qdigest_leaf_histogram_partially_aggregates(spark):
+    """The only data-sized shuffle in the digest build is the leaf
+    histogram — it must partial-aggregate map-side (partial_count before
+    the exchange), so 100-TB input reduces to <= 2^bits rows per group
+    before any shuffle."""
+    from unarxive_spark.operators.qdigest import _quantize
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    leaves = (
+        ev.filter(F.col("value").isNotNull())
+        .select("event_type", _quantize("value", 0.0, 1024.0, 12).alias("idx"))
+        .groupBy("event_type", "idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    plan = _formatted(leaves)
+    assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_weighted_rank_windows_are_shard_keyed(spark):
+    """The cumulative-weight prefix windows must be keyed by
+    (src, shard), never src alone over the raw adjacency — a mega-hub's
+    out-edges would otherwise prefix-sum in ONE task. (The walk-loop
+    plans themselves can't be inspected post-hoc: eager per-step
+    localCheckpoints replace them with checkpoint scans — this pins the
+    shared un-checkpointed rank build both walk variants consume.)"""
+    from unarxive_spark.operators.walks import _weighted_ranked_edges
+
+    edges = spark.createDataFrame(
+        [("hub", f"t{i:03d}", float(1 + i % 3)) for i in range(200)],
+        "src_conv_id string, dst_conv_id string, weight double",
+    )
+    plan = _plan(_weighted_ranked_edges(edges, "weight"))
+    win_lines = [
+        ln for ln in plan.splitlines() if "windowspecdefinition(" in ln
+    ]
+    assert win_lines, "expected window nodes in the rank-build plan"
+    # the per-edge prefix window carries the shard key; the only
+    # src-alone windows run over the <= N_RANK_SHARDS shard-size rows
+    per_edge = [ln for ln in win_lines if "_w#" in ln or "_w " in ln]
+    assert per_edge
+    assert all("_sh" in ln for ln in per_edge), per_edge[:2]
