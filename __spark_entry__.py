@@ -65,6 +65,8 @@ _DEFER_LAST = (
     "q18_graph_stats",
     "q10_group_rollup",
     "q30_exact_dup_stats",
+    "q31_minhash",
+    "q32_simhash",
     "q13_degree_distribution",
     "q15_triangles_per_vertex",
     "q16_edges_enriched",

@@ -1469,6 +1469,93 @@ WHERE EXISTS (SELECT 1 FROM dl{rounds} a
 SQL_DEDUP_CLUSTERS = _sql_dedup_clusters(DEDUP_WCC_ROUNDS)
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered-sequence funnel (view → click → purchase): per user the
+    earliest view, the earliest click strictly after it, the earliest
+    purchase strictly after that — three conditional-min aggregates
+    chained by join, no per-user sort or pattern-match UDF. Counts
+    users surviving each stage."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    rows = [
+        v.agg(F.lit("1_view").alias("stage"),
+              F.count(F.lit(1)).alias("n_users")),
+        c.agg(F.lit("2_view_click").alias("stage"),
+              F.count(F.lit(1)).alias("n_users")),
+        p.agg(F.lit("3_view_click_purchase").alias("stage"),
+              F.count(F.lit(1)).alias("n_users")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+SQL_FUNNEL = """
+WITH fv AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+fc AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN fv USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > fv.t_view GROUP BY 1
+),
+fp AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN fc USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > fc.t_click GROUP BY 1
+)
+SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM fv
+UNION ALL
+SELECT '2_view_click', CAST(count(*) AS BIGINT) FROM fc
+UNION ALL
+SELECT '3_view_click_purchase', CAST(count(*) AS BIGINT) FROM fp"""
+
+
+def q_cohorts(spark, sf_dir):
+    """Cohort retention matrix: users bucketed by first-event DAY,
+    counted distinct per (cohort day, activity day) — the synthetic
+    events span ~8 days, so daily cohorts give a real matrix where
+    monthly would collapse to 1×1. Two map-side-combinable aggs + one
+    join; day keys as strings so both engines compare identically."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            F.date_format("t0", "yyyy-MM-dd").alias("cohort"),
+            F.date_format("ts", "yyyy-MM-dd").alias("act_day"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+SQL_COHORTS = """
+WITH f0 AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1)
+SELECT strftime(t0, '%Y-%m-%d') AS cohort,
+       strftime(ts, '%Y-%m-%d') AS act_day,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN f0 USING (user_id)
+GROUP BY 1, 2"""
+
+
 CONTAINMENT_T = 0.8
 
 
@@ -1626,6 +1713,8 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q76_priority_sample": q_priority_sample,
     "q77_vocab_topk": q_vocab_topk,
     "q78_containment_pairs": q_containment_pairs,
+    "q80_funnel": q_funnel,
+    "q81_cohorts": q_cohorts,
 }
 
 TABULAR_ORACLES: dict[str, str] = {
@@ -1668,4 +1757,6 @@ TABULAR_ORACLES: dict[str, str] = {
     "q76_priority_sample": SQL_PRIORITY_SAMPLE,
     "q77_vocab_topk": SQL_VOCAB_TOPK,
     "q78_containment_pairs": SQL_CONTAINMENT_PAIRS,
+    "q80_funnel": SQL_FUNNEL,
+    "q81_cohorts": SQL_COHORTS,
 }
