@@ -17,6 +17,8 @@ Commands mirror the reference's entry points (SURVEY.md §3):
   vertices     reporting-layer vertex attribute table
   ktruss       k-truss edge-cohesion peel
   anf          ANF/HyperBall reachable-set estimates
+  louvain      Louvain modularity-optimizing community detection
+  walks        random-walk corpus (uniform / weighted / node2vec)
   synth        generate the deterministic synthetic transcripts table
 
 All IO is parquet directories (Iceberg tables on a real deployment —
@@ -47,7 +49,7 @@ def main(argv: list[str] | None = None) -> None:
 
     for name in (
         "pagerank", "components", "lpa", "triangles", "vertices",
-        "ktruss", "anf",
+        "ktruss", "anf", "louvain", "walks",
     ):
         g = sub.add_parser(name)
         g.add_argument("--edges" if name != "vertices" else "--transcripts",
@@ -69,6 +71,23 @@ def main(argv: list[str] | None = None) -> None:
             g.add_argument("--n-regs", type=int, default=8)
             g.add_argument("--max-iter", type=int, default=30)
             g.add_argument("--checkpoint-dir", default=None)
+        if name == "louvain":
+            g.add_argument("--max-rounds", type=int, default=20)
+            g.add_argument("--levels", type=int, default=1)
+            g.add_argument("--checkpoint-dir", default=None)
+        if name == "walks":
+            g.add_argument("--walk-length", type=int, default=5)
+            g.add_argument("--walks-per-vertex", type=int, default=1)
+            g.add_argument("--seed", type=int, default=42)
+            g.add_argument("--weighted", action="store_true")
+            g.add_argument(
+                "--node2vec",
+                nargs=3,
+                type=int,
+                metavar=("RET", "ADJ", "FAR"),
+                default=None,
+                help="integer biases ∝ (1/p, 1, 1/q)",
+            )
 
     args = p.parse_args(argv)
 
@@ -148,6 +167,58 @@ def main(argv: list[str] | None = None) -> None:
         print(
             f"anf: iterations={res.iterations} converged={res.converged}"
         )
+    elif args.cmd == "louvain":
+        from unarxive_spark.operators.louvain import louvain
+
+        e = spark.read.parquet(args.edges)
+        res = louvain(
+            e,
+            max_rounds=args.max_rounds,
+            levels=args.levels,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+        res.labels.write.mode("overwrite").parquet(args.out)
+        print(
+            f"louvain: rounds={res.rounds} levels={res.levels} "
+            f"converged={res.converged}"
+        )
+    elif args.cmd == "walks":
+        from pyspark.sql import functions as F
+
+        from unarxive_spark.operators.walks import (
+            node2vec_walks,
+            random_walks,
+        )
+
+        e = spark.read.parquet(args.edges)
+        starts = (
+            e.select(F.col("src_conv_id").alias("conv_id"))
+            .unionByName(e.select(F.col("dst_conv_id").alias("conv_id")))
+            .distinct()
+        )
+        if args.node2vec is not None:
+            ret, adj, far = args.node2vec
+            out = node2vec_walks(
+                e,
+                starts,
+                walk_length=args.walk_length,
+                walks_per_vertex=args.walks_per_vertex,
+                seed=args.seed,
+                ret_bias=ret,
+                adj_bias=adj,
+                far_bias=far,
+                weight_col="weight" if args.weighted else None,
+            )
+        else:
+            out = random_walks(
+                e,
+                starts,
+                walk_length=args.walk_length,
+                walks_per_vertex=args.walks_per_vertex,
+                seed=args.seed,
+                weight_col="weight" if args.weighted else None,
+            )
+        out.write.mode("overwrite").parquet(args.out)
     elif args.cmd == "vertices":
         from unarxive_spark.operators.stats import build_vertices
 
