@@ -44,19 +44,22 @@ def entry(spark: SparkSession) -> DataFrame:
 #   round 3 artifact: q01-q50 + q61 minus q09/q11/q12 (50 rows, all
 #                     green — first driver rows for q47/q48/q49/q50/q61)
 #   round 4 (this file): the 18 queries with NO prior driver row
-#     (q51-q60, q62-q69 — round-3 engine additions) plus this round's
-#     new queries move INSIDE the cap; the tail below defers rows that
-#     are multiply-green in the r1-r3 artifacts AND still pinned every
+#     (q51-q60, q62-q69 — round-3 engine additions) plus ALL round-4
+#     rows (q70-q81) move INSIDE the cap; the 33-row tail below defers
+#     only rows already green in r1-r3 artifacts AND still pinned every
 #     round by tests/test_driver_parity.py (q20-q26/q45/q47/q48 tabular
 #     block; q09/q11/q12 subsumed by q37/q38/q28; q13/q15/q16/q19a/
 #     q19b/q27/q28/q29/q36/q41/q46 stable since round 1 or 2; q61_anf
-#     green in r3 and its machinery re-exercised in-cap by q65; q17_bfs
-#     green r1-r3 with the same superstep skeleton as in-cap q19_sssp;
-#     q04/q07/q18 green r1-r3 — top-k now also evidenced by q77, the
-#     triangle machinery by the k-truss row q62).
+#     green in r3, its machinery re-exercised in-cap by q65; q17_bfs
+#     shares the superstep skeleton with in-cap q19_sssp; q04/q07/q18
+#     top-k/triangle/stat signals re-evidenced in-cap by q77/q62/q37;
+#     q10 ROLLUP by q39; q30/q31/q32 dedup family by q33/q53/q75/q78).
 #
 # Union across rounds 1-4 = every registered query driver-green at
-# least once.  Order within the tail: least-recently-green first.
+# least once (asserted by
+# tests/test_driver_parity.py::test_cap_rotation_covers_ungated_queries,
+# which also fails if a future query is added without extending this
+# tail).  Order within the tail: least-recently-green first.
 _DEFER_LAST = (
     "q61_anf",
     "q17_bfs",
