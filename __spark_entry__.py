@@ -70,6 +70,7 @@ _DEFER_LAST = (
     "q30_exact_dup_stats",
     "q31_minhash",
     "q32_simhash",
+    "q38_link_rate_by_day",
     "q13_degree_distribution",
     "q15_triangles_per_vertex",
     "q16_edges_enriched",

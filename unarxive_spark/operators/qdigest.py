@@ -55,6 +55,7 @@ __all__ = [
     "qdigest_quantiles",
     "qdigest_sql",
     "qdigest_quantiles_sql",
+    "qdigest_merge_sql",
 ]
 
 
@@ -260,6 +261,50 @@ def qdigest_quantiles(
 # ---------------------------------------------------------------------
 
 
+def _compress_rounds(
+    group_cols: Sequence[str], bits: int, prefix: str = ""
+) -> tuple[list[str], str]:
+    """The bottom-up sweep as ``bits`` unrolled rounds reading from
+    ``{prefix}n0`` (any node table shaped ({g}, idx, cnt, level, thr))
+    — shared by the build, quantile, and merge oracles.  MATERIALIZED
+    is load-bearing: each round reads the previous 3× (3^bits inlined
+    scans otherwise — the q51 failure mode from round 3)."""
+    g = ", ".join(group_cols)
+    xg = ", ".join(f"x.{c}" for c in group_cols)
+    on_g = " AND ".join(f"d.{c} = x.{c}" for c in group_cols)
+    parts = []
+    for lvl in range(bits):
+        parts.append(f"""{prefix}k{lvl} AS (
+  SELECT {g}, idx >> 1 AS pidx, sum(cnt) AS ccnt, max(thr) AS thr
+  FROM {prefix}n{lvl} WHERE level = {lvl} GROUP BY ALL
+),
+{prefix}d{lvl} AS MATERIALIZED (
+  SELECT x.*, x.ccnt + coalesce(p.cnt, 0) AS tot
+  FROM {prefix}k{lvl} x
+  LEFT JOIN (SELECT * FROM {prefix}n{lvl} WHERE level = {lvl + 1}) p
+    ON {" AND ".join(f"p.{c} = x.{c}" for c in group_cols)}
+       AND p.idx = x.pidx
+  WHERE x.ccnt + coalesce(p.cnt, 0) <= x.thr
+),
+{prefix}n{lvl + 1} AS MATERIALIZED (
+  SELECT {g}, idx, cnt, level, thr FROM {prefix}n{lvl}
+  WHERE level NOT IN ({lvl}, {lvl + 1})
+  UNION ALL
+  SELECT {xg}, x.idx, x.cnt, x.level, x.thr
+  FROM {prefix}n{lvl} x WHERE x.level = {lvl} AND NOT EXISTS (
+    SELECT 1 FROM {prefix}d{lvl} d WHERE {on_g}
+      AND d.pidx = (x.idx >> 1))
+  UNION ALL
+  SELECT {xg}, x.idx, x.cnt, x.level, x.thr
+  FROM {prefix}n{lvl} x WHERE x.level = {lvl + 1} AND NOT EXISTS (
+    SELECT 1 FROM {prefix}d{lvl} d WHERE {on_g} AND d.pidx = x.idx)
+  UNION ALL
+  SELECT {g}, pidx, CAST(tot AS BIGINT), {lvl + 1}, thr
+  FROM {prefix}d{lvl}
+)""")
+    return parts, f"{prefix}n{bits}"
+
+
 def _qdigest_ctes(
     table: str,
     value_expr: str,
@@ -268,15 +313,11 @@ def _qdigest_ctes(
     bits: int,
     lo: float,
     hi: float,
+    prefix: str = "",
 ) -> tuple[str, str]:
-    """Shared WITH-body for the digest build (used by both the state
-    and the quantile-query oracles).  Returns (cte_body, final_name).
-    One MATERIALIZED CTE per level — n{L+1} reads n{L} three times, so
-    plain (inlined) CTEs would expand 3^bits base-table scans (the q51
-    failure mode from round 3)."""
+    """Shared WITH-body for the digest build (used by the state,
+    quantile, and merge oracles).  Returns (cte_body, final_name)."""
     g = ", ".join(group_cols)
-    xg = ", ".join(f"x.{c}" for c in group_cols)
-    on_g = " AND ".join(f"d.{c} = x.{c}" for c in group_cols)
     u = 1 << bits
     quant = (
         f"LEAST(GREATEST(CAST(floor((({value_expr}) - {lo!r}e0)"
@@ -284,50 +325,71 @@ def _qdigest_ctes(
         f" 0), {u - 1})"
     )
     parts = [
-        f"""t0 AS MATERIALIZED (
+        f"""{prefix}t0 AS MATERIALIZED (
   SELECT {g}, {quant} AS idx FROM {table}
   WHERE ({value_expr}) IS NOT NULL
 ),
-lv AS MATERIALIZED (
-  SELECT {g}, idx, CAST(count(*) AS BIGINT) AS cnt FROM t0 GROUP BY ALL
+{prefix}lv AS MATERIALIZED (
+  SELECT {g}, idx, CAST(count(*) AS BIGINT) AS cnt
+  FROM {prefix}t0 GROUP BY ALL
 ),
-th AS MATERIALIZED (
+{prefix}th AS MATERIALIZED (
   SELECT {g}, CAST(floor(sum(cnt) / {int(k)}) AS BIGINT) AS thr
-  FROM lv GROUP BY ALL
+  FROM {prefix}lv GROUP BY ALL
 ),
-n0 AS MATERIALIZED (
-  SELECT lv.*, 0 AS level, th.thr FROM lv JOIN th USING ({g})
+{prefix}n0 AS MATERIALIZED (
+  SELECT {prefix}lv.*, 0 AS level, {prefix}th.thr
+  FROM {prefix}lv JOIN {prefix}th USING ({g})
 )"""
     ]
-    for lvl in range(bits):
-        parts.append(f"""k{lvl} AS (
-  SELECT {g}, idx >> 1 AS pidx, sum(cnt) AS ccnt, max(thr) AS thr
-  FROM n{lvl} WHERE level = {lvl} GROUP BY ALL
+    rounds, final = _compress_rounds(group_cols, bits, prefix)
+    parts.extend(rounds)
+    return ",\n".join(parts), final
+
+
+def qdigest_merge_sql(
+    table_a: str,
+    table_b: str,
+    value_expr: str,
+    group_cols: Sequence[str],
+    k: int = 256,
+    bits: int = 16,
+    lo: float = 0.0,
+    hi: float = 1024.0,
+) -> str:
+    """DuckDB rendering of :func:`qdigest_merge` over digests built
+    from two sources: build each digest, union node tables summing
+    counts, re-derive the threshold from the combined total, and
+    re-compress with the same sweep."""
+    g = ", ".join(group_cols)
+    ctes_a, fin_a = _qdigest_ctes(
+        table_a, value_expr, group_cols, k, bits, lo, hi, prefix="a"
+    )
+    ctes_b, fin_b = _qdigest_ctes(
+        table_b, value_expr, group_cols, k, bits, lo, hi, prefix="b"
+    )
+    merge_head = f"""mu AS MATERIALIZED (
+  SELECT {g}, level, idx, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+    SELECT {g}, level, idx, cnt FROM {fin_a}
+    UNION ALL
+    SELECT {g}, level, idx, cnt FROM {fin_b}
+  ) GROUP BY ALL
 ),
-d{lvl} AS MATERIALIZED (
-  SELECT x.*, x.ccnt + coalesce(p.cnt, 0) AS tot
-  FROM k{lvl} x
-  LEFT JOIN (SELECT * FROM n{lvl} WHERE level = {lvl + 1}) p
-    ON {" AND ".join(f"p.{c} = x.{c}" for c in group_cols)}
-       AND p.idx = x.pidx
-  WHERE x.ccnt + coalesce(p.cnt, 0) <= x.thr
+mth AS MATERIALIZED (
+  SELECT {g}, CAST(floor(sum(cnt) / {int(k)}) AS BIGINT) AS thr
+  FROM mu GROUP BY ALL
 ),
-n{lvl + 1} AS MATERIALIZED (
-  SELECT {g}, idx, cnt, level, thr FROM n{lvl}
-  WHERE level NOT IN ({lvl}, {lvl + 1})
-  UNION ALL
-  SELECT {xg}, x.idx, x.cnt, x.level, x.thr
-  FROM n{lvl} x WHERE x.level = {lvl} AND NOT EXISTS (
-    SELECT 1 FROM d{lvl} d WHERE {on_g}
-      AND d.pidx = (x.idx >> 1))
-  UNION ALL
-  SELECT {xg}, x.idx, x.cnt, x.level, x.thr
-  FROM n{lvl} x WHERE x.level = {lvl + 1} AND NOT EXISTS (
-    SELECT 1 FROM d{lvl} d WHERE {on_g} AND d.pidx = x.idx)
-  UNION ALL
-  SELECT {g}, pidx, CAST(tot AS BIGINT), {lvl + 1}, thr FROM d{lvl}
-)""")
-    return ",\n".join(parts), f"n{bits}"
+mn0 AS MATERIALIZED (
+  SELECT mu.{g.replace(", ", ", mu.")}, mu.idx, mu.cnt, mu.level,
+         mth.thr
+  FROM mu JOIN mth USING ({g})
+)"""
+    rounds, final = _compress_rounds(group_cols, bits, prefix="m")
+    body = ",\n".join([ctes_a, ctes_b, merge_head, *rounds])
+    return (
+        f"WITH {body}\n"
+        f"SELECT {g}, CAST(level AS INT) AS level, idx, cnt FROM {final}"
+    )
 
 
 def qdigest_sql(

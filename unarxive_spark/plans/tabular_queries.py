@@ -1469,6 +1469,45 @@ WHERE EXISTS (SELECT 1 FROM dl{rounds} a
 SQL_DEDUP_CLUSTERS = _sql_dedup_clusters(DEDUP_WCC_ROUNDS)
 
 
+def q_qdigest_merge(spark, sf_dir):
+    """The sketch's headline property in the driver gate: two digests
+    built over disjoint halves of events (even/odd event_id) merged by
+    union + sum + re-compress — the merged node table value-checked
+    BIT-FOR-BIT against the DuckDB replay of the same merge. This is
+    the cross-partition / cross-snapshot combine a 100-TB rollup relies
+    on."""
+    from unarxive_spark.operators.qdigest import qdigest, qdigest_merge
+
+    ev = _t(spark, sf_dir, "events")
+    d1 = qdigest(
+        ev.filter(F.col("event_id") % 2 == 0), "value", ["event_type"],
+        k=QD_K, bits=QD_BITS, lo=QD_LO, hi=QD_HI,
+    )
+    d2 = qdigest(
+        ev.filter(F.col("event_id") % 2 == 1), "value", ["event_type"],
+        k=QD_K, bits=QD_BITS, lo=QD_LO, hi=QD_HI,
+    )
+    return qdigest_merge(d1, d2, ["event_type"], k=QD_K, bits=QD_BITS)
+
+
+def _sql_qdigest_merge() -> str:
+    from unarxive_spark.operators.qdigest import qdigest_merge_sql
+
+    return qdigest_merge_sql(
+        "(SELECT * FROM events WHERE event_id % 2 = 0)",
+        "(SELECT * FROM events WHERE event_id % 2 = 1)",
+        "value",
+        ["event_type"],
+        k=QD_K,
+        bits=QD_BITS,
+        lo=QD_LO,
+        hi=QD_HI,
+    )
+
+
+SQL_QDIGEST_MERGE = _sql_qdigest_merge()
+
+
 def q_funnel(spark, sf_dir):
     """Ordered-sequence funnel (view → click → purchase): per user the
     earliest view, the earliest click strictly after it, the earliest
@@ -1715,6 +1754,7 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q78_containment_pairs": q_containment_pairs,
     "q80_funnel": q_funnel,
     "q81_cohorts": q_cohorts,
+    "q82_qdigest_merge": q_qdigest_merge,
 }
 
 TABULAR_ORACLES: dict[str, str] = {
@@ -1759,4 +1799,5 @@ TABULAR_ORACLES: dict[str, str] = {
     "q78_containment_pairs": SQL_CONTAINMENT_PAIRS,
     "q80_funnel": SQL_FUNNEL,
     "q81_cohorts": SQL_COHORTS,
+    "q82_qdigest_merge": SQL_QDIGEST_MERGE,
 }
