@@ -136,3 +136,43 @@ def test_nulls_excluded_and_clamping(spark):
         covered |= set(range(base, base + (1 << r["level"])))
     assert 0 in covered and (u - 1) in covered  # clamped to boundary
     assert leaves or True
+
+
+# ---------------------------------------------------------------------
+# Property-based: random value multisets (duplicates, point masses,
+# clustering all arise) — digest invariants + rank envelope must hold
+# ---------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+value_lists = st.lists(
+    st.one_of(
+        st.floats(min_value=0.0, max_value=1023.0, allow_nan=False),
+        st.sampled_from([100.0, 500.0]),  # point masses → heavy leaves
+    ),
+    min_size=20,
+    max_size=300,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(value_lists)
+def test_qdigest_invariants_property(spark, vals):
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "grp string, value double"
+    )
+    d = qdigest(df, "value", ["grp"], k=K, bits=BITS, lo=LO, hi=HI).cache()
+    rows = d.collect()
+    n = len(vals)
+    thr = n // K
+    assert sum(r["cnt"] for r in rows) == n
+    assert all(r["cnt"] <= thr for r in rows if r["level"] > 0)
+    q = qdigest_quantiles(d, ["grp"], [0.5, 0.9], bits=BITS, lo=LO, hi=HI)
+    _check_envelope(q, vals, BITS + 1)
+    d.unpersist()
