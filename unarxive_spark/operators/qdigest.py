@@ -53,9 +53,11 @@ __all__ = [
     "qdigest",
     "qdigest_merge",
     "qdigest_quantiles",
+    "qdigest_trim",
     "qdigest_sql",
     "qdigest_quantiles_sql",
     "qdigest_merge_sql",
+    "quantize_sql",
 ]
 
 
@@ -261,6 +263,19 @@ def qdigest_quantiles(
 # ---------------------------------------------------------------------
 
 
+def quantize_sql(
+    value_expr: str, lo: float, hi: float, bits: int
+) -> str:
+    """DuckDB rendering of :func:`_quantize` — identical IEEE
+    arithmetic, identical clamping."""
+    u = 1 << bits
+    return (
+        f"LEAST(GREATEST(CAST(floor((({value_expr}) - {lo!r}e0)"
+        f" / {float(hi) - float(lo)!r}e0 * {float(u)!r}e0) AS BIGINT),"
+        f" 0), {u - 1})"
+    )
+
+
 def _compress_rounds(
     group_cols: Sequence[str], bits: int, prefix: str = ""
 ) -> tuple[list[str], str]:
@@ -318,12 +333,7 @@ def _qdigest_ctes(
     """Shared WITH-body for the digest build (used by the state,
     quantile, and merge oracles).  Returns (cte_body, final_name)."""
     g = ", ".join(group_cols)
-    u = 1 << bits
-    quant = (
-        f"LEAST(GREATEST(CAST(floor((({value_expr}) - {lo!r}e0)"
-        f" / {float(hi) - float(lo)!r}e0 * {float(u)!r}e0) AS BIGINT),"
-        f" 0), {u - 1})"
-    )
+    quant = quantize_sql(value_expr, lo, hi, bits)
     parts = [
         f"""{prefix}t0 AS MATERIALIZED (
   SELECT {g}, {quant} AS idx FROM {table}
@@ -446,3 +456,52 @@ SELECT {g}, prob, q_leaf,
        {lo!r}e0 + CAST(q_leaf + 1 AS DOUBLE) / {float(u)!r}e0
          * {float(hi) - float(lo)!r}e0 AS q_value
 FROM hits"""
+
+
+def qdigest_trim(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    lo_p: float = 0.01,
+    hi_p: float = 0.99,
+    k: int = 256,
+    bits: int = 16,
+    lo: float = 0.0,
+    hi: float = 1024.0,
+) -> DataFrame:
+    """Percentile outlier trim driven by the digest: keep rows whose
+    QUANTIZED value lies within the group's [lo_p, hi_p] digest
+    quantile leaves — the approximate-percentile data-cleaning filter a
+    training pipeline runs where exact per-group quantiles would force
+    a full sort.  The bounds are integer leaf indices from the sketch,
+    so the kept/dropped decision is exact and cross-engine checkable.
+
+    Returns the input rows (all columns) plus ``__keep int``.  Shape:
+    one digest build + a groups-sized broadcast join — no sort of the
+    data."""
+    g = list(group_cols)
+    d = qdigest(df, value_col, g, k=k, bits=bits, lo=lo, hi=hi)
+    qs = qdigest_quantiles(
+        d, g, [float(lo_p), float(hi_p)], bits=bits, lo=lo, hi=hi
+    )
+    bounds = qs.groupBy(*g).agg(
+        F.min(
+            F.when(F.col("prob") == float(lo_p), F.col("q_leaf"))
+        ).alias("__lo_leaf"),
+        F.min(
+            F.when(F.col("prob") == float(hi_p), F.col("q_leaf"))
+        ).alias("__hi_leaf"),
+    )
+    leaf = _quantize(value_col, lo, hi, bits)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .join(F.broadcast(bounds), g)
+        .withColumn(
+            "__keep",
+            (
+                (leaf >= F.col("__lo_leaf"))
+                & (leaf <= F.col("__hi_leaf"))
+            ).cast("int"),
+        )
+        .drop("__lo_leaf", "__hi_leaf")
+    )

@@ -1508,6 +1508,61 @@ def _sql_qdigest_merge() -> str:
 SQL_QDIGEST_MERGE = _sql_qdigest_merge()
 
 
+QT_LO_P, QT_HI_P = 0.05, 0.95
+
+
+def q_outlier_trim(spark, sf_dir):
+    """Digest-driven percentile trim: per-group [p05, p95] leaf bounds
+    from the q-digest applied as a broadcast filter — approximate-
+    percentile data cleaning without a per-group sort. Kept/dropped
+    decisions are integer-leaf comparisons, so the counts are exact
+    cross-engine."""
+    from unarxive_spark.operators.qdigest import qdigest_trim
+
+    ev = _t(spark, sf_dir, "events")
+    flagged = qdigest_trim(
+        ev, "value", ["event_type"],
+        lo_p=QT_LO_P, hi_p=QT_HI_P,
+        k=QD_K, bits=QD_BITS, lo=QD_LO, hi=QD_HI,
+    )
+    return flagged.groupBy("event_type").agg(
+        F.sum("__keep").alias("n_kept"),
+        F.sum(F.lit(1) - F.col("__keep")).alias("n_dropped"),
+    )
+
+
+def _sql_outlier_trim() -> str:
+    from unarxive_spark.operators.qdigest import (
+        qdigest_quantiles_sql,
+        quantize_sql,
+    )
+
+    inner = qdigest_quantiles_sql(
+        "events", "value", ["event_type"], [QT_LO_P, QT_HI_P],
+        k=QD_K, bits=QD_BITS, lo=QD_LO, hi=QD_HI,
+    )
+    leaf = quantize_sql("e.value", QD_LO, QD_HI, QD_BITS)
+    return f"""
+WITH qb AS ({inner}),
+tb AS (
+  SELECT event_type,
+         min(CASE WHEN prob = {QT_LO_P!r}e0 THEN q_leaf END) AS lo_leaf,
+         min(CASE WHEN prob = {QT_HI_P!r}e0 THEN q_leaf END) AS hi_leaf
+  FROM qb GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(sum(CASE WHEN {leaf} BETWEEN tb.lo_leaf AND tb.hi_leaf
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN {leaf} BETWEEN tb.lo_leaf AND tb.hi_leaf
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM events e JOIN tb USING (event_type)
+WHERE e.value IS NOT NULL
+GROUP BY 1"""
+
+
+SQL_OUTLIER_TRIM = _sql_outlier_trim()
+
+
 def q_funnel(spark, sf_dir):
     """Ordered-sequence funnel (view → click → purchase): per user the
     earliest view, the earliest click strictly after it, the earliest
@@ -1755,6 +1810,7 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q80_funnel": q_funnel,
     "q81_cohorts": q_cohorts,
     "q82_qdigest_merge": q_qdigest_merge,
+    "q83_outlier_trim": q_outlier_trim,
 }
 
 TABULAR_ORACLES: dict[str, str] = {
@@ -1800,4 +1856,5 @@ TABULAR_ORACLES: dict[str, str] = {
     "q80_funnel": SQL_FUNNEL,
     "q81_cohorts": SQL_COHORTS,
     "q82_qdigest_merge": SQL_QDIGEST_MERGE,
+    "q83_outlier_trim": SQL_OUTLIER_TRIM,
 }
