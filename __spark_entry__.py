@@ -72,6 +72,7 @@ _DEFER_LAST = (
     "q32_simhash",
     "q38_link_rate_by_day",
     "q40_doi_resolution",
+    "q42_personalized_pagerank",
     "q13_degree_distribution",
     "q15_triangles_per_vertex",
     "q16_edges_enriched",

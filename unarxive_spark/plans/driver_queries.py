@@ -1511,6 +1511,25 @@ sl{r + 1} AS MATERIALIZED (
 SQL_SEEDED_LPA = _sql_seeded_lpa(SEEDED_ROUNDS, SEEDED_ANCHORS)
 
 
+def q_deepwalk_embeddings(spark, sf_dir):
+    """DeepWalk vertex embeddings (operators/embeddings.py): edges →
+    deterministic walks → skip-gram (Spark ML Word2Vec) → an
+    embeddings-shaped table. ROWS-ONLY driver check: Word2Vec training
+    is floating-point and parallel, so no cross-engine oracle exists —
+    every upstream stage is oracle-checked (walks q52/q72/q73, ANN
+    q34/q53/q54) and the structural community-separation property is
+    pinned in tests/test_embeddings.py."""
+    from unarxive_spark.operators.embeddings import deepwalk_embeddings
+
+    return deepwalk_embeddings(
+        _edges(spark, sf_dir),
+        walk_length=4,
+        walks_per_vertex=2,
+        dim=8,
+        seed=WALK_SEED,
+    )
+
+
 ANF_REGS = 8
 # oracle superstep unroll; the sketch fixpoint is monotone, so extra
 # rounds past convergence are no-ops — keep >= the graph's diameter
@@ -1898,6 +1917,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q73_node2vec_walks": q_node2vec_walks,
     "q74_louvain": q_louvain,
     "q79_seeded_lpa": q_seeded_lpa,
+    "q84_deepwalk_embeddings": q_deepwalk_embeddings,
     "q61_anf": q_anf,
     "q62_ktruss": q_ktruss,
     "q63_mis": q_mis,
