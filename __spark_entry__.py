@@ -73,6 +73,8 @@ _DEFER_LAST = (
     "q38_link_rate_by_day",
     "q40_doi_resolution",
     "q42_personalized_pagerank",
+    "q49_hits",
+    "q50_neighbor_jaccard",
     "q13_degree_distribution",
     "q15_triangles_per_vertex",
     "q16_edges_enriched",

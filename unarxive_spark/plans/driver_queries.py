@@ -515,6 +515,136 @@ FROM (
 ) GROUP BY 1"""
 
 
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman 2002): Pearson correlation of the
+    endpoint degrees over all directed edge-ends of the undirected
+    view — do high-degree conversations cite other hubs or the
+    periphery? One join + one corr aggregate; Pearson is scale-
+    invariant so sample-vs-population conventions cancel and both
+    engines agree to rounding."""
+    e = _edges(spark, sf_dir)
+    und = (
+        e.select(
+            F.col("src_conv_id").alias("u"), F.col("dst_conv_id").alias("v")
+        )
+        .unionByName(
+            e.select(
+                F.col("dst_conv_id").alias("u"),
+                F.col("src_conv_id").alias("v"),
+            )
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    pairs = (
+        und.join(deg, "u")
+        .withColumnRenamed("d", "du")
+        .join(deg.withColumnRenamed("u", "v"), "v")
+        .withColumnRenamed("d", "dv")
+    )
+    return pairs.agg(
+        F.round(F.corr("du", "dv"), 6).alias("assortativity"),
+        F.count(F.lit(1)).alias("n_edge_ends"),
+    )
+
+
+SQL_ASSORTATIVITY = f"""{GRAPH_PREFIX},
+aund AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT src_conv_id AS u, dst_conv_id AS v FROM edges
+    UNION ALL
+    SELECT dst_conv_id, src_conv_id FROM edges
+  ) WHERE u != v
+),
+adeg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM aund GROUP BY 1)
+SELECT round(corr(d1.d, d2.d), 6) AS assortativity,
+       CAST(count(*) AS BIGINT) AS n_edge_ends
+FROM aund e
+JOIN adeg d1 ON d1.u = e.u
+JOIN adeg d2 ON d2.u = e.v"""
+
+
+def q_clustering(spark, sf_dir):
+    """Clustering coefficients: global C = Σ tri_v / Σ wedges_v and the
+    average LOCAL coefficient over vertices with degree >= 2 — the
+    transitivity statistics next to the raw triangle counts (q07/q15),
+    computed from the same degree-ordered enumeration plus one degree
+    aggregate (no new quadratic work)."""
+    from unarxive_spark.operators.triangles import triangles_per_vertex
+
+    e = _edges(spark, sf_dir)
+    und = (
+        e.select(
+            F.col("src_conv_id").alias("u"), F.col("dst_conv_id").alias("v")
+        )
+        .unionByName(
+            e.select(
+                F.col("dst_conv_id").alias("u"),
+                F.col("src_conv_id").alias("v"),
+            )
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("u").alias("conv_id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    tri = triangles_per_vertex(e).withColumnRenamed(
+        "n_triangles", "t"
+    )
+    per_v = (
+        deg.join(tri, "conv_id", "left")
+        .select(
+            "conv_id",
+            "d",
+            F.coalesce("t", F.lit(0)).alias("t"),
+            (F.col("d") * (F.col("d") - 1) / 2).alias("w"),
+        )
+        .filter(F.col("d") >= 2)
+    )
+    return per_v.agg(
+        F.round(F.sum("t") / F.sum("w"), 6).alias("global_c"),
+        F.round(F.avg(F.col("t") / F.col("w")), 6).alias("avg_local_c"),
+        F.count(F.lit(1)).alias("n_eval"),
+    )
+
+
+SQL_CLUSTERING = f"""{GRAPH_PREFIX},
+cund AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT src_conv_id AS u, dst_conv_id AS v FROM edges
+    UNION ALL
+    SELECT dst_conv_id, src_conv_id FROM edges
+  ) WHERE u != v
+),
+ccanon AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+           FROM cund),
+ctri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ccanon e1
+  JOIN ccanon e2 ON e1.b = e2.a
+  JOIN ccanon e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+ctv AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS t FROM (
+    SELECT unnest([x, y, z]) AS conv_id FROM ctri
+  ) GROUP BY 1
+),
+cdeg AS (SELECT u AS conv_id, CAST(count(*) AS BIGINT) AS d
+         FROM cund GROUP BY 1),
+cperv AS (
+  SELECT d.conv_id, d.d, coalesce(t.t, 0) AS t,
+         d.d * (d.d - 1) / 2.0 AS w
+  FROM cdeg d LEFT JOIN ctv t ON t.conv_id = d.conv_id
+  WHERE d.d >= 2
+)
+SELECT round(sum(t) / sum(w), 6) AS global_c,
+       round(avg(t / w), 6) AS avg_local_c,
+       CAST(count(*) AS BIGINT) AS n_eval
+FROM cperv"""
+
+
 def q_bfs(spark, sf_dir):
     """BFS hop distances from the first conversation (frontier-expansion
     supersteps; oracle = shortest-hop recursive CTE)."""
@@ -1918,6 +2048,8 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q74_louvain": q_louvain,
     "q79_seeded_lpa": q_seeded_lpa,
     "q84_deepwalk_embeddings": q_deepwalk_embeddings,
+    "q85_assortativity": q_assortativity,
+    "q86_clustering": q_clustering,
     "q61_anf": q_anf,
     "q62_ktruss": q_ktruss,
     "q63_mis": q_mis,
@@ -1963,6 +2095,8 @@ GRAPH_ORACLES: dict[str, str] = {
     "q73_node2vec_walks": SQL_NODE2VEC_WALKS,
     "q74_louvain": SQL_LOUVAIN,
     "q79_seeded_lpa": SQL_SEEDED_LPA,
+    "q85_assortativity": SQL_ASSORTATIVITY,
+    "q86_clustering": SQL_CLUSTERING,
     "q61_anf": SQL_ANF,
     "q62_ktruss": SQL_KTRUSS,
     "q63_mis": SQL_MIS,
