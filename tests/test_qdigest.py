@@ -176,3 +176,25 @@ def test_qdigest_invariants_property(spark, vals):
     q = qdigest_quantiles(d, ["grp"], [0.5, 0.9], bits=BITS, lo=LO, hi=HI)
     _check_envelope(q, vals, BITS + 1)
     d.unpersist()
+
+
+def test_round4_operators_tolerate_empty_inputs(spark):
+    """Empty frames must flow through, not crash: 0-node digest, empty
+    converged Louvain labels, a walk that stops at its dangling start,
+    zero containment pairs."""
+    from unarxive_spark.operators.dedup import containment_pairs
+    from unarxive_spark.operators.louvain import louvain
+    from unarxive_spark.operators.walks import random_walks
+
+    empty_ev = spark.createDataFrame([], "event_type string, value double")
+    assert qdigest(empty_ev, "value", ["event_type"], k=4, bits=8).count() == 0
+    empty_e = spark.createDataFrame(
+        [], "src_conv_id string, dst_conv_id string, weight double"
+    )
+    res = louvain(empty_e, max_rounds=2)
+    assert res.labels.count() == 0 and res.converged
+    starts = spark.createDataFrame([("a",)], "conv_id string")
+    rows = random_walks(empty_e, starts, walk_length=2).collect()
+    assert [(r["step"], r["conv_id"]) for r in rows] == [(0, "a")]
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert containment_pairs(docs).count() == 0
