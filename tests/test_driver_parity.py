@@ -58,8 +58,18 @@ def test_query_matches_oracle(spark, con, name, fn, sql):
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
     if sql is None:
-        # rows-only contract: must run and be non-degenerate
+        # rows-only contract: must run, be non-degenerate, AND survive
+        # the driver's pandas canonicalization — the real harness
+        # sorts/hashes ALL columns even for rows-only rows, so an
+        # unhashable output type (array<float>, bit q84 in r4) must
+        # fail HERE before it ever reaches the driver.
         assert spark_rows is not None
+        import pandas as pd
+
+        pdf = pd.DataFrame(spark_rows, columns=spark_cols)
+        if len(pdf):
+            pdf = pdf.sort_values(by=sorted(spark_cols))
+            pd.util.hash_pandas_object(pdf, index=False)
         return
     rel = con.sql(sql)
     duck_cols = rel.columns

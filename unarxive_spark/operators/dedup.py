@@ -199,7 +199,15 @@ def simhash_dup_pairs(
     Pigeonhole blocking: split the signature into ``blocks`` chunks; any
     pair within hamming ≤ blocks-1 shares ≥1 exact chunk → candidate join
     on chunk value, then exact hamming verification via bit_count(xor).
+    The recall guarantee requires ``max_hamming <= blocks - 1`` — raise
+    rather than silently losing qualifying pairs (ADVICE r4).
     """
+    if max_hamming > blocks - 1:
+        raise ValueError(
+            f"simhash_dup_pairs: max_hamming={max_hamming} needs "
+            f"blocks >= {max_hamming + 1} (got {blocks}) — pigeonhole "
+            "blocking only guarantees recall for hamming <= blocks-1"
+        )
     sigs = simhash(df, text_col, id_col, bits)
     chunk = bits // blocks
     mask = (1 << chunk) - 1

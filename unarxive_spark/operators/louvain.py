@@ -245,6 +245,11 @@ def _local_moves(
                 break
         else:
             zero_streak = 0
+    # state is a write_state re-scan — the cached adjacency/degree
+    # frames are dead now; with levels>1 each contraction would
+    # otherwise layer more cached state on top (ADVICE r4)
+    und.unpersist()
+    deg.unpersist()
     return state, r + 1, converged
 
 
@@ -263,7 +268,10 @@ def louvain(
     spark = edges.sparkSession
     ckpt = CheckpointManager(spark, checkpoint_dir)
     und = _und_long(edges, weight_col)
-    empty_selfw = spark.createDataFrame([], "v string, sw long")
+    # derive the vertex-id type from the input so non-string ids don't
+    # trip the later unionByName with an opaque type error (ADVICE r4)
+    id_type = edges.schema["src_conv_id"].dataType.simpleString()
+    empty_selfw = spark.createDataFrame([], f"v {id_type}, sw long")
     selfw = empty_selfw
     # vertex -> current super-vertex (identity at level 1)
     mapping = None

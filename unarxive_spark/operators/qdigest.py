@@ -19,7 +19,7 @@ Everything is integer arithmetic on (level, idx, cnt) triples, so a
 DuckDB replay reproduces the digest BIT-FOR-BIT (same discipline as
 ``operators/sketch.py``; reference capability analog: the percentile
 columns of the reference's stats matrices,
-``/root/reference/code/calc_stats.py`` summary tables).
+``/root/reference/src/utility_scripts/calc_stats.py`` summary tables).
 
 100-TB shape:
 - The ONLY data-sized shuffle is the leaf histogram — a map-side
@@ -225,6 +225,8 @@ def qdigest_quantiles(
     """
     from pyspark.sql import Window
 
+    if not probs:
+        raise ValueError("probs must be non-empty")
     g = list(group_cols)
     u = 1 << bits
     # shiftleft's numBits argument must be a literal in the Python API —

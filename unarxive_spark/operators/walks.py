@@ -28,17 +28,13 @@ from unarxive_spark.functions.hashing import h64
 N_RANK_SHARDS = 16
 
 
-def _weighted_ranked_edges(edges: DataFrame, weight_col: str) -> DataFrame:
-    """(src, dst, _w, _wcum, _wtot): out-edges with an EXCLUSIVE
-    cumulative-weight prefix in the deterministic (shard, dst) order —
-    edge i owns the pick range [_wcum, _wcum + _w).
+def _summed_weight_edges(edges: DataFrame, weight_col: str) -> DataFrame:
+    """(src, dst, _w long): parallel edges collapsed by weight sum.
 
     Weights must be positive integers (edge weights here are marker
     counts, SURVEY §1.1.3) so the modular pick stays in exact integer
     arithmetic — a fractional weight raises in-plan rather than silently
-    rounding.  Same two-stage de-skew as the uniform rank: per-shard
-    prefix sums within (src, shard), then a <= N_RANK_SHARDS-row offset
-    window per src — no single-task mega-hub sort."""
+    rounding."""
     w_sum = F.sum(weight_col).alias("__wraw")
     e = edges.groupBy(
         F.col("src_conv_id").alias("src"),
@@ -52,11 +48,21 @@ def _weighted_ranked_edges(edges: DataFrame, weight_col: str) -> DataFrame:
             "(got a fractional or non-positive weight)"
         ),
     )
-    e = e.select(
-        "src",
-        "dst",
-        F.when(ok.isNull(), w_long).alias("_w"),
-        F.pmod(h64(F.col("dst")), F.lit(N_RANK_SHARDS)).alias("_sh"),
+    return e.select(
+        "src", "dst", F.when(ok.isNull(), w_long).alias("_w")
+    )
+
+
+def _weighted_ranked_edges(edges: DataFrame, weight_col: str) -> DataFrame:
+    """(src, dst, _w, _wcum, _wtot): out-edges with an EXCLUSIVE
+    cumulative-weight prefix in the deterministic (shard, dst) order —
+    edge i owns the pick range [_wcum, _wcum + _w).
+
+    Same two-stage de-skew as the uniform rank: per-shard prefix sums
+    within (src, shard), then a <= N_RANK_SHARDS-row offset window per
+    src — no single-task mega-hub sort."""
+    e = _summed_weight_edges(edges, weight_col).withColumn(
+        "_sh", F.pmod(h64(F.col("dst")), F.lit(N_RANK_SHARDS))
     )
     w_in = (
         Window.partitionBy("src", "_sh")
@@ -245,9 +251,9 @@ def node2vec_walks(
             .withColumn("_w", F.lit(1).cast("long"))
         )
     else:
-        adj = _weighted_ranked_edges(edges, weight_col).select(
-            "src", "dst", "_w"
-        )
+        # biases recompute per-step prefixes anyway — only the summed
+        # weights are needed, not the ranked prefix columns (ADVICE r4)
+        adj = _summed_weight_edges(edges, weight_col)
     adj = (
         adj.withColumn(
             "_sh", F.pmod(h64(F.col("dst")), F.lit(N_RANK_SHARDS))

@@ -1648,15 +1648,30 @@ def q_deepwalk_embeddings(spark, sf_dir):
     is floating-point and parallel, so no cross-engine oracle exists —
     every upstream stage is oracle-checked (walks q52/q72/q73, ANN
     q34/q53/q54) and the structural community-separation property is
-    pinned in tests/test_embeddings.py."""
+    pinned in tests/test_embeddings.py.
+
+    The driver row projects the vector to HASHABLE SCALARS (dim + the
+    L2 norm rounded to 6 places) — the r4 row returned the raw
+    ``array<float>`` column, which the driver's pandas canonicalization
+    cannot hash/sort (VERDICT r4 item 1)."""
     from unarxive_spark.operators.embeddings import deepwalk_embeddings
 
-    return deepwalk_embeddings(
+    emb = deepwalk_embeddings(
         _edges(spark, sf_dir),
         walk_length=4,
         walks_per_vertex=2,
         dim=8,
         seed=WALK_SEED,
+    )
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return emb.select(
+        "conv_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq), 6).alias("l2_norm"),
     )
 
 
