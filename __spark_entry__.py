@@ -60,7 +60,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_driver_parity.py::test_cap_rotation_covers_ungated_queries,
 # which also fails if a future query is added without extending this
 # tail).  Order within the tail: least-recently-green first.
+#   round 5 (this file): round-5 rows (q87+) enter the cap; the tail
+#     grows by the same number of multiply-green base-pipeline rows
+#     (q01/q02/q03/q06 — green in every r1-r4 artifact, and implicitly
+#     re-exercised by every in-cap graph query, which derives
+#     transcripts/edges through the same code path).
 _DEFER_LAST = (
+    "q01_transcripts",
     "q61_anf",
     "q17_bfs",
     "q04_degree_topk",

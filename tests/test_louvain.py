@@ -32,8 +32,10 @@ def louvain_oracle(rows, max_rounds, levels=1):
     und = dict(und)
     selfw: dict = {}
     mapping = None
-    round_offset = 0
     for level in range(levels):
+        # engine contract: parity offset is level*max_rounds (pure
+        # function of (level, round) — see operators/louvain.py)
+        round_offset = level * max_rounds
         verts = sorted({u for u, _ in und} | set(selfw))
         deg = {x: selfw.get(x, 0) for x in verts}
         adj = defaultdict(dict)
@@ -77,7 +79,6 @@ def louvain_oracle(rows, max_rounds, levels=1):
                     break
             else:
                 zero = 0
-        round_offset += rounds
         mapping = (
             dict(comm)
             if mapping is None

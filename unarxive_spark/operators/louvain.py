@@ -279,8 +279,12 @@ def louvain(
     converged = True
     labels = None
     for level in range(levels):
+        # parity/checkpoint offset is level*max_rounds, NOT the actual
+        # rounds run so far: the parity schedule must be a pure function
+        # of (level, round) so a fixed SQL unroll (q87's two-level
+        # oracle) replays it without knowing when level 1 converged
         state, rounds, conv = _local_moves(
-            und, selfw, ckpt, max_rounds, total_rounds
+            und, selfw, ckpt, max_rounds, level * max_rounds
         )
         total_rounds += rounds
         converged = converged and conv

@@ -1564,6 +1564,120 @@ st{r + 1} AS MATERIALIZED (
 SQL_LOUVAIN = _sql_louvain(LOUVAIN_ROUNDS)
 
 
+def q_louvain_two_level(spark, sf_dir):
+    """Multi-level Louvain (operators/louvain.py, levels=2): after the
+    level-1 local moves converge, communities contract into super-
+    vertices (intra-community weight becomes a self-loop counted in the
+    super-vertex degree), a second local-move pass runs on the
+    contracted graph, and the final communities map back to original
+    vertices. Oracle: BOTH levels unrolled as MATERIALIZED CTEs — the
+    contraction is two GROUP BYs over the relabeled edge list, and the
+    level-2 rounds reuse the identical gain/argmax arithmetic with the
+    self-loop weight folded into the degree. The parity schedule is
+    (level*max_rounds + r) % 2 in both engines by contract."""
+    from unarxive_spark.operators.louvain import louvain
+
+    res = louvain(
+        _edges(spark, sf_dir), max_rounds=LOUVAIN_ROUNDS, levels=2
+    )
+    return res.labels
+
+
+def _sql_louvain2(rounds: int) -> str:
+    """Two-level unroll: the q74 level-1 chain, then contraction
+    (c2und/c2self), then a level-2 chain (u0..u{rounds}) whose degree
+    includes the contracted self-loop weight, then the map-back join.
+    Level-1 convergence is stable under extra rounds (strict-gain
+    moves), so contracting from st{rounds} matches the engine even when
+    it breaks early."""
+    from unarxive_spark.functions.hashing import h64_sql
+
+    lvl1 = _sql_louvain(rounds)
+    # keep everything up to (and including) the last level-1 state CTE;
+    # drop the final SELECT
+    body = lvl1[: lvl1.rindex(")") + 1]
+    h = h64_sql("s.conv_id")
+    parts = [
+        f"""c2rel AS MATERIALIZED (
+  SELECT su.comm AS cu, sv.comm AS cv, e.w
+  FROM lund e
+  JOIN st{rounds} su ON su.conv_id = e.u
+  JOIN st{rounds} sv ON sv.conv_id = e.v
+),
+c2und AS MATERIALIZED (
+  SELECT cu AS u, cv AS v, CAST(sum(w) AS BIGINT) AS w
+  FROM c2rel WHERE cu != cv GROUP BY 1, 2
+),
+c2self AS MATERIALIZED (
+  SELECT cu AS v, CAST(sum(w) AS BIGINT) AS sw
+  FROM c2rel WHERE cu = cv GROUP BY 1
+),
+cverts AS MATERIALIZED (
+  SELECT DISTINCT conv_id FROM (
+    SELECT u AS conv_id FROM c2und
+    UNION ALL SELECT v FROM c2und
+    UNION ALL SELECT v FROM c2self)
+),
+deg2 AS MATERIALIZED (
+  SELECT cv.conv_id, COALESCE(e.k, 0) + COALESCE(s.sw, 0) AS k
+  FROM cverts cv
+  LEFT JOIN (SELECT u AS conv_id, sum(w) AS k FROM c2und GROUP BY 1) e
+    USING (conv_id)
+  LEFT JOIN (SELECT v AS conv_id, sw FROM c2self) s USING (conv_id)
+),
+tm2 AS MATERIALIZED (SELECT sum(k) AS tm FROM deg2),
+u0 AS MATERIALIZED (SELECT conv_id, conv_id AS comm FROM deg2)"""
+    ]
+    for r in range(rounds):
+        parity = (rounds + r) % 2
+        parts.append(f"""uct{r} AS (
+  SELECT s.comm, sum(d.k) AS tot
+  FROM u{r} s JOIN deg2 d USING (conv_id) GROUP BY 1
+),
+ucd{r} AS (
+  SELECT conv_id, cand, sum(kic) AS kic FROM (
+    SELECT e.u AS conv_id, sv.comm AS cand, sum(e.w) AS kic
+    FROM c2und e JOIN u{r} sv ON sv.conv_id = e.v GROUP BY 1, 2
+    UNION ALL
+    SELECT conv_id, comm, 0 FROM u{r}
+  ) GROUP BY 1, 2
+),
+ug{r} AS MATERIALIZED (
+  SELECT c.conv_id, c.cand, s.comm,
+         (SELECT tm FROM tm2) * c.kic
+           - d.k * (t.tot - CASE WHEN c.cand = s.comm
+                                 THEN d.k ELSE 0 END) AS gain
+  FROM ucd{r} c
+  JOIN u{r} s USING (conv_id)
+  JOIN deg2 d USING (conv_id)
+  JOIN uct{r} t ON t.comm = c.cand
+),
+ub{r} AS (
+  SELECT conv_id, cand AS bcand, gain AS bgain FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id
+                ORDER BY gain DESC, cand ASC) AS rn
+    FROM ug{r}) WHERE rn = 1
+),
+u{r + 1} AS MATERIALIZED (
+  SELECT s.conv_id,
+         CASE WHEN ({h}) % 2 = {parity} AND b.bgain > sg.gain
+              THEN b.bcand ELSE s.comm END AS comm
+  FROM u{r} s
+  JOIN ub{r} b USING (conv_id)
+  JOIN (SELECT conv_id, gain FROM ug{r} WHERE cand = comm) sg
+    USING (conv_id)
+)""")
+    ctes = ",\n".join(parts)
+    return (
+        f"{body},\n{ctes}\n"
+        f"SELECT m.conv_id, s2.comm AS comm\n"
+        f"FROM st{rounds} m JOIN u{rounds} s2 ON s2.conv_id = m.comm"
+    )
+
+
+SQL_LOUVAIN2 = _sql_louvain2(LOUVAIN_ROUNDS)
+
+
 SEEDED_ANCHORS = 8
 SEEDED_ROUNDS = 6
 
@@ -2061,6 +2175,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q72_weighted_walks": q_weighted_walks,
     "q73_node2vec_walks": q_node2vec_walks,
     "q74_louvain": q_louvain,
+    "q87_louvain_two_level": q_louvain_two_level,
     "q79_seeded_lpa": q_seeded_lpa,
     "q84_deepwalk_embeddings": q_deepwalk_embeddings,
     "q85_assortativity": q_assortativity,
@@ -2109,6 +2224,7 @@ GRAPH_ORACLES: dict[str, str] = {
     "q72_weighted_walks": SQL_WEIGHTED_WALKS,
     "q73_node2vec_walks": SQL_NODE2VEC_WALKS,
     "q74_louvain": SQL_LOUVAIN,
+    "q87_louvain_two_level": SQL_LOUVAIN2,
     "q79_seeded_lpa": SQL_SEEDED_LPA,
     "q85_assortativity": SQL_ASSORTATIVITY,
     "q86_clustering": SQL_CLUSTERING,
