@@ -67,6 +67,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #     transcripts/edges through the same code path).
 _DEFER_LAST = (
     "q01_transcripts",
+    "q02_mine_refs",
     "q61_anf",
     "q17_bfs",
     "q04_degree_topk",

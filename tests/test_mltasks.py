@@ -163,3 +163,54 @@ def test_priority_sample_matches_plain_bottom_k(spark):
     assert {g: sorted(v) for g, v in rerun.items()} == {
         g: sorted(v) for g, v in got.items()
     }
+
+
+def test_weighted_priority_sample_matches_replay_and_skew(spark):
+    """E-S weighted sample == python replay of the min-replicated-hash
+    key, and a heavy-weight key dominates the sample (the verdict's
+    skew fixture): one item with weight 32 among 50 weight-1 items must
+    be picked into a k=5 sample under this seedless deterministic
+    scheme iff its min draw is among the 5 smallest — replayed exactly."""
+    import hashlib
+
+    from unarxive_spark.operators.mltasks import weighted_priority_sample
+
+    def h(s):
+        return int(hashlib.md5(str(s).encode()).hexdigest()[:15], 16)
+
+    def key(i, w):
+        return min(h(f"{i}#{j}") for j in range(w))
+
+    rows = [("g", i, 1) for i in range(50)] + [("g", 999, 32)]
+    df = spark.createDataFrame(rows, "grp string, id long, w long")
+    want = sorted(
+        ((i, w) for _, i, w in rows), key=lambda t: (key(*t), t[0])
+    )[:5]
+    got = sorted(
+        (r["id"], r["w"])
+        for r in weighted_priority_sample(
+            df, 5, ["grp"], "id", "w", max_weight=32
+        ).collect()
+    )
+    assert got == sorted(want)
+    # weight-proportional pull: the weight-32 item holds 32 of the 82
+    # draws — with this fixture's hashes it must land in the sample
+    # (pin it so the weighting is demonstrably doing something)
+    assert any(i == 999 for i, _ in got)
+
+
+def test_weighted_priority_sample_rejects_bad_weights(spark):
+    import pytest as _pytest
+
+    from unarxive_spark.operators.mltasks import weighted_priority_sample
+
+    df = spark.createDataFrame(
+        [("g", 1, 0)], "grp string, id long, w long"
+    )
+    with _pytest.raises(Exception, match="weights must be integers"):
+        weighted_priority_sample(df, 2, ["grp"], "id", "w").collect()
+    df2 = spark.createDataFrame(
+        [("g", 1, 5000)], "grp string, id long, w long"
+    )
+    with _pytest.raises(Exception, match="weights must be integers"):
+        weighted_priority_sample(df2, 2, ["grp"], "id", "w").collect()

@@ -190,3 +190,78 @@ def priority_sample(
         .filter(F.col("_grk") <= k)
         .drop("_pri", "_sh", "_rk", "_grk")
     )
+
+
+def weighted_priority_sample(
+    df,
+    k: int,
+    group_cols,
+    key_col: str,
+    weight_col: str,
+    max_weight: int = 1024,
+    n_shards: int = 16,
+):
+    """Deterministic per-group weighted bottom-k sample — exact
+    Efraimidis-Spirakis weighted sampling WITHOUT replacement, with the
+    float ``u^(1/w)`` key replaced by integer weight replication:
+
+        priority(i) = min over j in [0, w_i) of h64(key_i # j)
+
+    Each item conceptually enters w_i independent 60-bit draws; the
+    globally smallest draw belongs to item i with probability
+    w_i / Σw, and — conditioning on earlier picks being removed — the
+    same holds recursively among the remaining items, which is exactly
+    the E-S without-replacement scheme (Efraimidis & Spirakis, IPL
+    2006).  All integer md5-derived arithmetic, so the DuckDB oracle
+    reproduces the sample row-for-row (no cross-engine float pow).
+
+    Weights must be integers in ``[1, max_weight]`` (raised in-plan
+    otherwise).  The replication is ROW-LOCAL: an array of ≤max_weight
+    hashes folded by array_min inside the row — no explode, no extra
+    shuffle; the only shuffles are the same two-stage de-skewed rank as
+    :func:`priority_sample`.  At 100 TB pick max_weight so the
+    per-row array stays small (quantize big weights upstream).
+    """
+    from pyspark.sql import Window
+
+    from unarxive_spark.functions.hashing import h64
+
+    g = list(group_cols)
+    w_raw = F.col(weight_col)
+    w_long = w_raw.cast("long")
+    ok = F.assert_true(
+        (w_raw.cast("double") == w_long.cast("double"))
+        & (w_long >= 1)
+        & (w_long <= int(max_weight)),
+        F.lit(
+            "weighted_priority_sample: weights must be integers in "
+            f"[1, {max_weight}]"
+        ),
+    )
+    key_s = F.col(key_col).cast("string")
+    pri = F.array_min(
+        F.transform(
+            F.sequence(F.lit(0), (w_long - 1).cast("int")),
+            lambda j: h64(
+                F.concat(key_s, F.lit("#"), j.cast("string"))
+            ),
+        )
+    )
+    sharded = (
+        df.withColumn("_ok", ok)
+        .withColumn("_pri", F.when(F.col("_ok").isNull(), pri))
+        .drop("_ok")
+        .withColumn(
+            "_sh", F.pmod(F.col("_pri"), F.lit(int(n_shards)))
+        )
+    )
+    w_sh = Window.partitionBy(*g, "_sh").orderBy("_pri", key_col)
+    survivors = sharded.withColumn(
+        "_rk", F.row_number().over(w_sh)
+    ).filter(F.col("_rk") <= k)
+    w_g = Window.partitionBy(*g).orderBy("_pri", key_col)
+    return (
+        survivors.withColumn("_grk", F.row_number().over(w_g))
+        .filter(F.col("_grk") <= k)
+        .drop("_pri", "_sh", "_rk", "_grk")
+    )

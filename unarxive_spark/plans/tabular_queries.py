@@ -1722,6 +1722,59 @@ SELECT lang, doc_id FROM (
 SQL_PRIORITY_SAMPLE = _sql_priority_sample()
 
 
+WSAMPLE_K = 15
+# integer weight 1..32 favoring longer documents — exact integer
+# division so both engines derive the identical weight
+WSAMPLE_W_SPARK = "1 + LEAST(31, n_chars DIV 400)"
+WSAMPLE_W_DUCK = "1 + LEAST(31, n_chars // 400)"
+
+
+def q_weighted_priority_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (operators/mltasks.py:weighted_priority_sample): longer documents
+    are proportionally likelier to be kept. The float u^(1/w) key is
+    replaced by integer weight replication — priority(i) = min over
+    j<w_i of h64(doc_id#j) — so the sample is an exact integer function
+    of the data and the DuckDB oracle reproduces it row-for-row."""
+    from unarxive_spark.operators.mltasks import weighted_priority_sample
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "lang",
+        "doc_id",
+        F.expr(WSAMPLE_W_SPARK).cast("long").alias("w"),
+    )
+    return weighted_priority_sample(
+        base, WSAMPLE_K, ["lang"], "doc_id", "w", max_weight=32
+    )
+
+
+def _sql_weighted_priority_sample() -> str:
+    from unarxive_spark.functions.hashing import h64_sql
+
+    h = h64_sql("CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)")
+    return f"""
+WITH wb AS (
+  SELECT lang, doc_id, CAST({WSAMPLE_W_DUCK} AS BIGINT) AS w
+  FROM documents
+),
+pri AS (
+  SELECT lang, doc_id, w,
+         list_min(list_transform(range(0, CAST(w AS INT)),
+                                 j -> {h})) AS p
+  FROM wb
+)
+SELECT lang, doc_id, w FROM (
+  SELECT lang, doc_id, w,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY p, doc_id) AS rk
+  FROM pri
+) WHERE rk <= {WSAMPLE_K}"""
+
+
+SQL_WEIGHTED_PRIORITY_SAMPLE = _sql_weighted_priority_sample()
+
+
 VOCAB_K = 50
 
 
@@ -1805,6 +1858,7 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q71_qdigest_quantiles": q_qdigest_quantiles,
     "q75_dedup_clusters": q_dedup_clusters,
     "q76_priority_sample": q_priority_sample,
+    "q88_weighted_priority_sample": q_weighted_priority_sample,
     "q77_vocab_topk": q_vocab_topk,
     "q78_containment_pairs": q_containment_pairs,
     "q80_funnel": q_funnel,
@@ -1851,6 +1905,7 @@ TABULAR_ORACLES: dict[str, str] = {
     "q71_qdigest_quantiles": SQL_QDIGEST_QUANTILES,
     "q75_dedup_clusters": SQL_DEDUP_CLUSTERS,
     "q76_priority_sample": SQL_PRIORITY_SAMPLE,
+    "q88_weighted_priority_sample": SQL_WEIGHTED_PRIORITY_SAMPLE,
     "q77_vocab_topk": SQL_VOCAB_TOPK,
     "q78_containment_pairs": SQL_CONTAINMENT_PAIRS,
     "q80_funnel": SQL_FUNNEL,
