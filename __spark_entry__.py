@@ -68,6 +68,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _DEFER_LAST = (
     "q01_transcripts",
     "q02_mine_refs",
+    "q03_edges",
+    "q06_components",
     "q61_anf",
     "q17_bfs",
     "q04_degree_topk",

