@@ -70,6 +70,10 @@ _DEFER_LAST = (
     "q02_mine_refs",
     "q03_edges",
     "q06_components",
+    "q08_vertices",
+    "q14_lpa",
+    "q19_sssp",
+    "q37_cat_month_cube_full",
     "q61_anf",
     "q17_bfs",
     "q04_degree_topk",

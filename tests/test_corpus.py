@@ -1,0 +1,160 @@
+"""Training-corpus prep operators (chunking, packing, decontamination,
+BM25) vs pure-Python replays."""
+
+import hashlib
+import math
+
+import pytest
+
+from unarxive_spark.operators.corpus import (
+    bm25_scores,
+    chunk_documents,
+    decontaminate,
+    pack_sequences,
+)
+
+
+def _h64(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+DOCS = [
+    (1, "a b c d e f g h i j"),          # 10 tokens
+    (2, "x y z"),                         # 3 tokens
+    (3, " ".join(f"t{i}" for i in range(25))),  # 25 tokens
+    (4, "solo"),                          # 1 token
+]
+SCHEMA = "doc_id long, text string"
+
+
+def test_chunk_documents_boundaries(spark):
+    """chunk_tokens=8, overlap=2 → step 6; replay the window math."""
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(
+            df, chunk_tokens=8, overlap=2
+        ).collect()
+    }
+    want = {}
+    for did, text in DOCS:
+        toks = text.split()
+        n = len(toks)
+        step = 6
+        n_chunks = 1 + max(0, math.ceil((n - 8) / step))
+        for i in range(n_chunks):
+            sl = toks[i * step : i * step + 8]
+            want[(did, i)] = (len(sl), " ".join(sl))
+    assert got == want
+    # every token position is covered by some chunk
+    for did, text in DOCS:
+        n = len(text.split())
+        covered = set()
+        for (d, i), (nt, _) in want.items():
+            if d == did:
+                covered |= set(range(i * 6, i * 6 + nt))
+        assert covered == set(range(n))
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_pack_sequences_layout(spark):
+    """Placement == replay of the (shard, h64, id) stream order;
+    offsets are gapless and sequence spans are consistent."""
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    rows = pack_sequences(df, capacity=8, n_shards=4).collect()
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["start_offset"],
+            r["first_seq"],
+            r["last_seq"],
+        )
+        for r in rows
+    }
+    order = sorted(
+        DOCS,
+        key=lambda t: (_h64(str(t[0])) % 4, _h64(str(t[0])), t[0]),
+    )
+    off = 0
+    want = {}
+    for did, text in order:
+        n = len(text.split())
+        first = off // 8
+        last = (off + max(n - 1, 0)) // 8
+        want[did] = (n, off, first, last)
+        off += n
+    assert got == want
+    # gapless: offsets sorted == prefix sums of lengths
+    offs = sorted(v[1] for v in got.values())
+    lens = [v[0] for v in sorted(got.values(), key=lambda v: v[1])]
+    acc = 0
+    for o, ln in zip(offs, lens):
+        assert o == acc
+        acc += ln
+
+
+def test_decontaminate_scrubs_shared_ngrams(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over dogs"),
+            (2, "completely different words entirely here now"),
+            (3, "QUICK BROWN FOX jumps elsewhere today"),  # case-insens
+        ],
+        SCHEMA,
+    )
+    bench = spark.createDataFrame(
+        [(100, "something quick brown fox jumps something")], SCHEMA
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in decontaminate(train, bench, n=4).collect()
+    )
+    # doc 1 shares "quick brown fox jumps"; doc 3 shares it modulo case
+    assert kept == [2]
+    # with n too large to match, nothing is scrubbed
+    kept_all = sorted(
+        r["doc_id"]
+        for r in decontaminate(train, bench, n=7).collect()
+    )
+    assert kept_all == [1, 2, 3]
+
+
+def test_bm25_matches_python_replay(spark):
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    terms = ["a", "x", "t3"]
+    got = {
+        r["doc_id"]: (r["n_hits"], r["bm25"])
+        for r in bm25_scores(df, terms, k1=1.2, b=0.75).collect()
+    }
+    docs = {d: t.lower().split() for d, t in DOCS}
+    n_docs = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n_docs
+    dfreq = {
+        t: sum(1 for toks in docs.values() if t in toks) for t in terms
+    }
+    want = {}
+    for did, toks in docs.items():
+        hits = [t for t in terms if t in toks]
+        if not hits:
+            continue
+        s = 0.0
+        for t in hits:
+            tf = toks.count(t)
+            idf = math.log(
+                1 + (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+            )
+            s += (
+                idf
+                * tf
+                * 2.2
+                / (tf + 1.2 * (0.25 + 0.75 * len(toks) / avgdl))
+            )
+        want[did] = (len(hits), round(s, 6))
+    assert got == want
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_scores(df, [])

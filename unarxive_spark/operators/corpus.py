@@ -1,0 +1,254 @@
+"""Training-corpus preparation operators — the document-to-training-
+sequence pipeline stages an LLM data pipeline runs after dedup/quality
+filtering (reference capability analog: the ML-task sample prep,
+``/root/reference/src/utility_scripts/ml_tasks_prep_data.py``, which
+renumbers/filters samples but predates token-window training prep).
+
+All four stages keep the repo's portability discipline: token math is
+exact integer arithmetic, shingle keys are the portable md5-derived
+h64, and every shuffle is keyed (no cartesian, no driver-side loops):
+
+- :func:`chunk_documents` — sliding token-window chunking with
+  overlap; chunk generation is ROW-LOCAL (HOF transform + explode).
+- :func:`pack_sequences` — concat-and-split sequence packing: lay the
+  corpus out in a deterministic stream order and cut every
+  ``capacity`` tokens; placement is a de-skewed global prefix sum
+  (within-shard window + a ≤n_shards-row offset join — the walks-rank
+  pattern, no single-task global sort).
+- :func:`decontaminate` — benchmark n-gram semi-join: drop training
+  docs sharing any word n-gram with a held-out set (the standard
+  test-set leakage scrub); one equi-join on shingle hashes.
+- :func:`bm25_scores` — Okapi BM25 ranking of documents against a
+  term list (k1/b defaults per Robertson & Walker); counts are exact
+  integers, only the final score is floating (rounded for the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from unarxive_spark.functions.hashing import h64
+from unarxive_spark.functions.texttools import shingles, tokens
+
+__all__ = [
+    "chunk_documents",
+    "pack_sequences",
+    "decontaminate",
+    "bm25_scores",
+]
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window chunking →
+    ``(id, chunk_idx int, n_tokens long, chunk_text string)``.
+
+    Chunk ``i`` covers token offsets ``[i*step, i*step + chunk_tokens)``
+    with ``step = chunk_tokens - overlap``; the last chunk may be
+    short.  Chunk count and slicing are row-local integer arithmetic
+    (transform + slice + explode) — the operator adds NO shuffle."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    extra = F.greatest(n - F.lit(chunk_tokens), F.lit(0))
+    n_chunks = (
+        F.lit(1) + F.floor((extra + F.lit(step - 1)) / F.lit(step))
+    ).cast("int")
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                F.slice(
+                    toks, i * step + 1, F.lit(chunk_tokens)
+                ).alias("_ctoks"),
+            ),
+        )
+    )
+    return df.select(F.col(id_col), chunk.alias("_c")).select(
+        id_col,
+        F.col("_c.chunk_idx").alias("chunk_idx"),
+        F.size("_c._ctoks").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", F.col("_c._ctoks")).alias("chunk_text"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    capacity: int = 2048,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Concat-and-split sequence packing → per-document placement
+    ``(id, n_tokens, start_offset, first_seq, last_seq)``.
+
+    Documents are concatenated in the deterministic stream order
+    ``(h64(id) % n_shards, h64(id), id)`` and the token stream is cut
+    every ``capacity`` tokens — the standard LLM pretraining layout
+    (documents may straddle sequence boundaries; ``first_seq``/
+    ``last_seq`` report the span).  The global exclusive prefix sum is
+    de-skewed: a within-shard running sum plus a broadcastable
+    ≤n_shards-row shard-offset join — no single-partition global
+    window."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    ).withColumn("_h", h64(F.col("id").cast("string")))
+    base = base.withColumn(
+        "_sh", F.pmod(F.col("_h"), F.lit(int(n_shards)))
+    )
+    w_in = (
+        Window.partitionBy("_sh")
+        .orderBy("_h", "id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = base.withColumn(
+        "_loc", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    )
+    sizes = base.groupBy("_sh").agg(F.sum("n_tokens").alias("_n"))
+    w_off = (
+        Window.partitionBy()
+        .orderBy("_sh")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = sizes.select(
+        "_sh", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    placed = local.join(F.broadcast(offs), "_sh").select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        (F.col("_loc") + F.col("_off")).alias("start_offset"),
+    )
+    cap = F.lit(int(capacity))
+    first = ((F.col("start_offset") - F.pmod(F.col("start_offset"), cap)) / cap).cast("long")
+    last_off = F.col("start_offset") + F.greatest(
+        F.col("n_tokens") - 1, F.lit(0)
+    )
+    last = ((last_off - F.pmod(last_off, cap)) / cap).cast("long")
+    return placed.select(
+        id_col,
+        "n_tokens",
+        "start_offset",
+        first.alias("first_seq"),
+        last.alias("last_seq"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Drop training documents sharing ANY word ``n``-gram with the
+    benchmark set → the surviving ``train`` rows (all columns).
+
+    Both sides shingle (lowercased word n-grams, the dedup family's
+    :func:`shingles`), keys are h64 hashes; contamination is one
+    equi-semi-join on the hash and the scrub is a left_anti back to
+    ``train``.  At scale the benchmark side is tiny — broadcast."""
+    sh = F.explode(
+        F.transform(
+            shingles(F.col(text_col), n), lambda s: h64(s)
+        )
+    )
+    tr = train.select(F.col(id_col).alias("_id"), sh.alias("_sh"))
+    bn = F.broadcast(
+        bench.select(sh.alias("_sh")).distinct()
+    )
+    contaminated = (
+        tr.join(bn, "_sh", "left_semi").select("_id").distinct()
+    )
+    return train.join(
+        contaminated,
+        train[id_col] == contaminated["_id"],
+        "left_anti",
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 → ``(id, n_hits long, bm25 double)`` for documents
+    containing at least one query term.
+
+    ``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))`` (the non-negative
+    variant).  All counts (tf, df, dl, N) are exact integers; ``avgdl``
+    and the score are the only floats.  Plan: one explode+groupBy for
+    per-(doc, term) tf, a terms-sized df aggregate and two 1-row
+    scalars (N, avgdl) joined broadcast — no window, no cartesian."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    toks = tokens(F.lower(F.col(text_col)))
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("_toks"),
+        F.size(toks).cast("long").alias("dl"),
+    )
+    term_arr = F.array(*[F.lit(t) for t in sorted(set(terms))])
+    tf = (
+        docs.select(
+            "id",
+            "dl",
+            F.explode(
+                F.array_intersect(F.array_distinct("_toks"), term_arr)
+            ).alias("term"),
+        )
+        .join(
+            docs.select(
+                "id", F.explode("_toks").alias("term")
+            )
+            .groupBy("id", "term")
+            .agg(F.count(F.lit(1)).alias("tf")),
+            ["id", "term"],
+        )
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.countDistinct("id").alias("df")
+    )
+    scalars = F.broadcast(
+        docs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(scalars)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.sum(contrib).alias("_s"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_hits",
+            F.round("_s", 6).alias("bm25"),
+        )
+    )

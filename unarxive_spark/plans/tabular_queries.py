@@ -1791,6 +1791,204 @@ def q_edit_distance_pairs(spark, sf_dir):
     )
 
 
+CHUNK_TOKENS, CHUNK_OVERLAP = 32, 8
+_CH_STEP = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Sliding token-window chunking (operators/corpus.py): the
+    document→training-chunk stage of an LLM data pipeline. Chunk
+    generation is row-local (HOF transform + slice + explode) — the
+    operator adds no shuffle."""
+    from unarxive_spark.operators.corpus import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(
+        d, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    )
+
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> t != '') AS toks
+  FROM documents
+),
+b2 AS (
+  SELECT doc_id, toks,
+         1 + (GREATEST(len(toks) - {CHUNK_TOKENS}, 0)
+              + {_CH_STEP - 1}) // {_CH_STEP} AS n_chunks
+  FROM base
+),
+ex AS (
+  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS ci FROM b2
+)
+SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+       CAST(len(toks[ci * {_CH_STEP} + 1 :
+                     ci * {_CH_STEP} + {CHUNK_TOKENS}]) AS BIGINT)
+         AS n_tokens,
+       array_to_string(toks[ci * {_CH_STEP} + 1 :
+                            ci * {_CH_STEP} + {CHUNK_TOKENS}], ' ')
+         AS chunk_text
+FROM ex"""
+
+
+PACK_CAPACITY, PACK_SHARDS = 256, 32
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-split sequence packing (operators/corpus.py): lay
+    the corpus out in the deterministic (h64 shard, h64, id) stream
+    order and cut every PACK_CAPACITY tokens — the LLM pretraining
+    layout. The global prefix sum is de-skewed (within-shard window +
+    broadcast shard offsets); the oracle replays the identical total
+    order with one window."""
+    from unarxive_spark.operators.corpus import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        d, capacity=PACK_CAPACITY, n_shards=PACK_SHARDS
+    )
+
+
+def _sql_pack_sequences() -> str:
+    from unarxive_spark.functions.hashing import h64_sql
+    from unarxive_spark.functions.texttools import token_count_sql
+
+    h = h64_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST({token_count_sql("text")} AS BIGINT) AS n_tokens,
+         {h} AS h
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (
+           ORDER BY h % {PACK_SHARDS}, h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_offset
+  FROM base
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(start_offset // {PACK_CAPACITY} AS BIGINT) AS first_seq,
+       CAST((start_offset + GREATEST(n_tokens - 1, 0))
+            // {PACK_CAPACITY} AS BIGINT) AS last_seq
+FROM cum"""
+
+
+SQL_PACK_SEQUENCES = _sql_pack_sequences()
+
+
+DECONTAM_N = 4
+DECONTAM_BENCH_MOD = 97
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark n-gram decontamination (operators/corpus.py): drop
+    training documents sharing any word 4-gram with the held-out
+    benchmark slice (doc_id % 97 == 0) — the test-set leakage scrub
+    every published LLM data pipeline runs. One shingle-hash semi-join
+    + left_anti."""
+    from unarxive_spark.operators.corpus import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(
+        F.col("doc_id") % DECONTAM_BENCH_MOD == 0
+    )
+    train = d.filter(
+        F.col("doc_id") % DECONTAM_BENCH_MOD != 0
+    )
+    return decontaminate(train, bench, n=DECONTAM_N).select("doc_id")
+
+
+def _sql_decontaminate() -> str:
+    from unarxive_spark.functions.hashing import h64_sql
+
+    n = DECONTAM_N
+    tok = (
+        "list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+        "t -> t != '')"
+    )
+    h = h64_sql("s")
+    return f"""
+WITH d AS (SELECT doc_id, {tok} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, {h} AS hs FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             range(0, GREATEST(len(toks) - {n} + 1, 1)),
+             i -> array_to_string(toks[i + 1 : i + {n}], ' ')))) AS s
+    FROM d)
+),
+bench AS (
+  SELECT DISTINCT hs FROM sh WHERE doc_id % {DECONTAM_BENCH_MOD} = 0
+),
+contaminated AS (
+  SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (hs)
+  WHERE sh.doc_id % {DECONTAM_BENCH_MOD} != 0
+)
+SELECT doc_id FROM documents
+WHERE doc_id % {DECONTAM_BENCH_MOD} != 0
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)"""
+
+
+SQL_DECONTAMINATE = _sql_decontaminate()
+
+
+BM25_TERMS = ["join", "spark", "window"]
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 ranking (operators/corpus.py) of documents against a
+    fixed term list. Counts (tf/df/dl/N) are exact integers; the score
+    is the only float (rounded to 6 on both engines)."""
+    from unarxive_spark.operators.corpus import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_scores(d, BM25_TERMS, k1=BM25_K1, b=BM25_B)
+
+
+def _sql_bm25() -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_TERMS)))
+    k1, b = BM25_K1, BM25_B
+    tok = (
+        "list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+        "t -> t != '')"
+    )
+    return f"""
+WITH d2 AS (
+  SELECT doc_id, {tok} AS toks,
+         CAST(len({tok}) AS BIGINT) AS dl
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, dl, t AS term,
+         CAST(len(list_filter(toks, x -> x = t)) AS BIGINT) AS tf
+  FROM d2 CROSS JOIN unnest([{terms}]) AS u(t)
+  WHERE list_contains(toks, t)
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+sc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM d2
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       round(sum(
+         ln(1e0 + (n_docs - df + 0.5e0) / (df + 0.5e0))
+         * tf * {k1 + 1.0}e0
+         / (tf + {k1}e0 * ({1.0 - b}e0 + {b}e0 * dl / avgdl))
+       ), 6) AS bm25
+FROM tf JOIN dfreq USING (term), sc
+GROUP BY doc_id"""
+
+
+SQL_BM25 = _sql_bm25()
+
+
 SQL_EDIT_DISTANCE_PAIRS = """
 WITH names AS (
   SELECT DISTINCT c_name AS s FROM customer WHERE length(c_name) > 1
@@ -1896,6 +2094,10 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q76_priority_sample": q_priority_sample,
     "q88_weighted_priority_sample": q_weighted_priority_sample,
     "q89_edit_distance_pairs": q_edit_distance_pairs,
+    "q91_chunk_documents": q_chunk_documents,
+    "q92_pack_sequences": q_pack_sequences,
+    "q93_decontaminate": q_decontaminate,
+    "q94_bm25": q_bm25,
     "q77_vocab_topk": q_vocab_topk,
     "q78_containment_pairs": q_containment_pairs,
     "q80_funnel": q_funnel,
@@ -1944,6 +2146,10 @@ TABULAR_ORACLES: dict[str, str] = {
     "q76_priority_sample": SQL_PRIORITY_SAMPLE,
     "q88_weighted_priority_sample": SQL_WEIGHTED_PRIORITY_SAMPLE,
     "q89_edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
+    "q91_chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "q92_pack_sequences": SQL_PACK_SEQUENCES,
+    "q93_decontaminate": SQL_DECONTAMINATE,
+    "q94_bm25": SQL_BM25,
     "q77_vocab_topk": SQL_VOCAB_TOPK,
     "q78_containment_pairs": SQL_CONTAINMENT_PAIRS,
     "q80_funnel": SQL_FUNNEL,
