@@ -158,3 +158,70 @@ def test_bm25_matches_python_replay(spark):
     assert got == want
     with pytest.raises(ValueError, match="non-empty"):
         bm25_scores(df, [])
+
+
+def test_bigram_pmi_matches_python_replay(spark):
+    from unarxive_spark.operators.corpus import bigram_pmi
+
+    rows = [
+        (1, "new york new york city"),
+        (2, "new york is a city"),
+        (3, "a brand new day in york"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        (r["token_a"], r["token_b"]): (
+            r["c_ab"],
+            r["c_a"],
+            r["c_b"],
+            r["pmi"],
+        )
+        for r in bigram_pmi(df, min_count=2).collect()
+    }
+    toks = [t.split() for _, t in rows]
+    unis = [t for ts in toks for t in ts]
+    bis = [
+        (ts[i], ts[i + 1]) for ts in toks for i in range(len(ts) - 1)
+    ]
+    n_uni, n_bi = len(unis), len(bis)
+    want = {}
+    for a, b in set(bis):
+        c_ab = bis.count((a, b))
+        if c_ab < 2:
+            continue
+        c_a, c_b = unis.count(a), unis.count(b)
+        pmi = math.log(
+            (float(c_ab) * n_uni * n_uni) / (float(n_bi) * c_a * c_b)
+        )
+        want[(a, b)] = (c_ab, c_a, c_b, round(pmi, 6))
+    assert got == want
+    assert ("new", "york") in got  # the collocation is found
+    # "new york" should score far above chance
+    assert got[("new", "york")][3] > 0.5
+
+
+def test_corpus_plan_shapes(spark):
+    """100-TB plan contracts: chunking adds no shuffle; decontaminate's
+    benchmark side broadcasts; nothing in the family falls back to a
+    cartesian."""
+    df = spark.createDataFrame(DOCS, SCHEMA)
+
+    chunk_plan = (
+        chunk_documents(df, chunk_tokens=8, overlap=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in chunk_plan
+
+    bench = spark.createDataFrame(DOCS[:1], SCHEMA)
+    decon_plan = (
+        decontaminate(df, bench, n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in decon_plan
+    for op in ("CartesianProduct",):
+        for plan in (chunk_plan, decon_plan):
+            assert op not in plan

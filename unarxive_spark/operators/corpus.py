@@ -4,7 +4,7 @@ filtering (reference capability analog: the ML-task sample prep,
 ``/root/reference/src/utility_scripts/ml_tasks_prep_data.py``, which
 renumbers/filters samples but predates token-window training prep).
 
-All four stages keep the repo's portability discipline: token math is
+All stages keep the repo's portability discipline: token math is
 exact integer arithmetic, shingle keys are the portable md5-derived
 h64, and every shuffle is keyed (no cartesian, no driver-side loops):
 
@@ -21,6 +21,8 @@ h64, and every shuffle is keyed (no cartesian, no driver-side loops):
 - :func:`bm25_scores` — Okapi BM25 ranking of documents against a
   term list (k1/b defaults per Robertson & Walker); counts are exact
   integers, only the final score is floating (rounded for the oracle).
+- :func:`bigram_pmi` — adjacent-bigram pointwise mutual information
+  (word2phrase-style collocation mining for tokenizer/vocab building).
 """
 
 from __future__ import annotations
@@ -36,6 +38,7 @@ __all__ = [
     "pack_sequences",
     "decontaminate",
     "bm25_scores",
+    "bigram_pmi",
 ]
 
 
@@ -250,5 +253,91 @@ def bm25_scores(
             F.col("id").alias(id_col),
             "n_hits",
             F.round("_s", 6).alias("bm25"),
+        )
+    )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Adjacent-bigram pointwise mutual information — the phrase-mining
+    pass of tokenizer/vocab building (word2phrase-style collocation
+    detection) → ``(token_a, token_b, c_ab, c_a, c_b, pmi)``.
+
+    ``pmi = ln(p(a,b) / (p(a)·p(b)))`` with ``p(a,b) = c_ab/N_bi`` and
+    ``p(a) = c_a/N_uni``.  All counts are exact integers (the row set
+    is exact under ``min_count``); only the pmi value is floating —
+    computed with an identical left-associated expression in the DuckDB
+    oracle and rounded to 6.
+
+    Plan: bigram generation is row-local (HOF over the token array);
+    two map-side-combinable groupBy counts, two broadcast unigram-count
+    joins, two 1-row scalar aggregates — no window, no cartesian."""
+    toks = tokens(F.lower(F.col(text_col)))
+    d = df.select(toks.alias("_toks"))
+    uni = d.select(F.explode("_toks").alias("t"))
+    cu = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    bi = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - 2),
+                lambda i: F.struct(
+                    F.col("_toks")[i].alias("a"),
+                    F.col("_toks")[i + 1].alias("b"),
+                ),
+            )
+        ).alias("_bg")
+    ).select(
+        F.col("_bg.a").alias("token_a"), F.col("_bg.b").alias("token_b")
+    )
+    cb = (
+        bi.groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= int(min_count))
+    )
+    scalars = F.broadcast(
+        uni.agg(F.count(F.lit(1)).alias("n_uni")).crossJoin(
+            bi.agg(F.count(F.lit(1)).alias("n_bi"))
+        )
+    )
+    pmi = F.log(
+        (
+            F.col("c_ab").cast("double")
+            * F.col("n_uni")
+            * F.col("n_uni")
+        )
+        / (
+            F.col("n_bi").cast("double")
+            * F.col("c_a")
+            * F.col("c_b")
+        )
+    )
+    return (
+        cb.join(
+            F.broadcast(
+                cu.select(
+                    F.col("t").alias("token_a"), F.col("c").alias("c_a")
+                )
+            ),
+            "token_a",
+        )
+        .join(
+            F.broadcast(
+                cu.select(
+                    F.col("t").alias("token_b"), F.col("c").alias("c_b")
+                )
+            ),
+            "token_b",
+        )
+        .crossJoin(scalars)
+        .select(
+            "token_a",
+            "token_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(pmi, 6).alias("pmi"),
         )
     )

@@ -1989,6 +1989,55 @@ GROUP BY doc_id"""
 SQL_BM25 = _sql_bm25()
 
 
+PMI_MIN_COUNT = 5
+
+
+def q_bigram_pmi(spark, sf_dir):
+    """Adjacent-bigram PMI phrase mining (operators/corpus.py) — the
+    word2phrase-style collocation pass of tokenizer/vocab building.
+    Exact integer counts pin the row set; the pmi value is the only
+    float (identical left-associated expression in both engines,
+    rounded to 6)."""
+    from unarxive_spark.operators.corpus import bigram_pmi
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_pmi(d, min_count=PMI_MIN_COUNT)
+
+
+def _sql_bigram_pmi() -> str:
+    tok = (
+        "list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+        "t -> t != '')"
+    )
+    return f"""
+WITH d AS (SELECT {tok} AS toks FROM documents),
+uni AS (SELECT unnest(toks) AS t FROM d),
+cu AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+nu AS (SELECT CAST(count(*) AS BIGINT) AS n_uni FROM uni),
+bi AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM d
+),
+cb AS (
+  SELECT split_part(bg, ' ', 1) AS token_a,
+         split_part(bg, ' ', 2) AS token_b,
+         CAST(count(*) AS BIGINT) AS c_ab
+  FROM bi GROUP BY 1, 2
+),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bi FROM bi)
+SELECT token_a, token_b, c_ab, ca.c AS c_a, cbt.c AS c_b,
+       round(ln((CAST(c_ab AS DOUBLE) * n_uni * n_uni)
+                / (CAST(n_bi AS DOUBLE) * ca.c * cbt.c)), 6) AS pmi
+FROM cb
+JOIN cu ca ON ca.t = token_a
+JOIN cu cbt ON cbt.t = token_b, nu, nb
+WHERE c_ab >= {PMI_MIN_COUNT}"""
+
+
+SQL_BIGRAM_PMI = _sql_bigram_pmi()
+
+
 SQL_EDIT_DISTANCE_PAIRS = """
 WITH names AS (
   SELECT DISTINCT c_name AS s FROM customer WHERE length(c_name) > 1
@@ -2098,6 +2147,7 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q92_pack_sequences": q_pack_sequences,
     "q93_decontaminate": q_decontaminate,
     "q94_bm25": q_bm25,
+    "q95_bigram_pmi": q_bigram_pmi,
     "q77_vocab_topk": q_vocab_topk,
     "q78_containment_pairs": q_containment_pairs,
     "q80_funnel": q_funnel,
@@ -2150,6 +2200,7 @@ TABULAR_ORACLES: dict[str, str] = {
     "q92_pack_sequences": SQL_PACK_SEQUENCES,
     "q93_decontaminate": SQL_DECONTAMINATE,
     "q94_bm25": SQL_BM25,
+    "q95_bigram_pmi": SQL_BIGRAM_PMI,
     "q77_vocab_topk": SQL_VOCAB_TOPK,
     "q78_containment_pairs": SQL_CONTAINMENT_PAIRS,
     "q80_funnel": SQL_FUNNEL,
