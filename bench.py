@@ -177,6 +177,36 @@ def extended_queries(spark) -> dict[str, float]:
             ).count()
         )
     docs.unpersist()
+    # round-5 additions — fresh session again for cross-round
+    # comparability (same rationale as the round-4 block)
+    stop_spark()
+    spark = get_spark(
+        master=f"local[{CPUS}]",
+        app_name="bench-ext5",
+        shuffle_partitions=CPUS,
+    )
+    from unarxive_spark.plans.driver_queries import q_louvain_two_level
+    from unarxive_spark.plans.tabular_queries import (
+        q_bigram_pmi,
+        q_bm25,
+        q_chunk_documents,
+        q_decontaminate,
+        q_edit_distance_pairs,
+        q_pack_sequences,
+        q_weighted_priority_sample,
+    )
+
+    for name, q in (
+        ("louvain_two_level", q_louvain_two_level),
+        ("weighted_priority_sample", q_weighted_priority_sample),
+        ("edit_distance_pairs", q_edit_distance_pairs),
+        ("chunk_documents", q_chunk_documents),
+        ("pack_sequences", q_pack_sequences),
+        ("decontaminate", q_decontaminate),
+        ("bm25", q_bm25),
+        ("bigram_pmi", q_bigram_pmi),
+    ):
+        _, times[name] = _timed(lambda q=q: q(spark, SF_DIR).count())
     return times
 
 
