@@ -75,6 +75,7 @@ _DEFER_LAST = (
     "q19_sssp",
     "q37_cat_month_cube_full",
     "q44_lpa_modularity",
+    "q43_scc",
     "q61_anf",
     "q17_bfs",
     "q04_degree_topk",

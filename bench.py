@@ -193,6 +193,7 @@ def extended_queries(spark) -> dict[str, float]:
         q_decontaminate,
         q_edit_distance_pairs,
         q_pack_sequences,
+        q_tfidf_pairs,
         q_weighted_priority_sample,
     )
 
@@ -205,6 +206,7 @@ def extended_queries(spark) -> dict[str, float]:
         ("decontaminate", q_decontaminate),
         ("bm25", q_bm25),
         ("bigram_pmi", q_bigram_pmi),
+        ("tfidf_pairs", q_tfidf_pairs),
     ):
         _, times[name] = _timed(lambda q=q: q(spark, SF_DIR).count())
     return times

@@ -225,3 +225,57 @@ def test_corpus_plan_shapes(spark):
     for op in ("CartesianProduct",):
         for plan in (chunk_plan, decon_plan):
             assert op not in plan
+
+
+def test_tfidf_doc_pairs_matches_python_replay(spark):
+    from unarxive_spark.operators.corpus import tfidf_doc_pairs
+
+    rows = [
+        (1, "rare apple banana common common"),
+        (2, "rare apple cherry common"),
+        (3, "banana cherry common common common"),
+        (4, "common only here common"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_shared"], r["cosine"])
+        for r in tfidf_doc_pairs(df, min_shared=1, max_df=2).collect()
+    }
+    docs = {d: t.lower().split() for d, t in rows}
+    n = len(docs)
+    vocab = {t for ts in docs.values() for t in ts}
+    dfreq = {
+        t: sum(1 for ts in docs.values() if t in ts) for t in vocab
+    }
+    w = {
+        d: {
+            t: ts.count(t) * math.log(n / dfreq[t])
+            for t in set(ts)
+        }
+        for d, ts in docs.items()
+    }
+    norm = {
+        d: math.sqrt(sum(x * x for x in ws.values()))
+        for d, ws in w.items()
+    }
+    want = {}
+    for a in docs:
+        for b in docs:
+            if a >= b:
+                continue
+            shared = [
+                t
+                for t in set(docs[a]) & set(docs[b])
+                if dfreq[t] <= 2  # the pair-generation index prune
+            ]
+            if len(shared) < 1:
+                continue
+            dot = sum(w[a][t] * w[b][t] for t in shared)
+            want[(a, b)] = (
+                len(shared),
+                round(dot / (norm[a] * norm[b]), 6),
+            )
+    assert got == want
+    # 'common' (df=4) must never generate a pair on its own: doc 4
+    # shares only 'common' with the others and must be absent
+    assert not any(4 in pair for pair in got)

@@ -39,6 +39,7 @@ __all__ = [
     "decontaminate",
     "bm25_scores",
     "bigram_pmi",
+    "tfidf_doc_pairs",
 ]
 
 
@@ -339,5 +340,88 @@ def bigram_pmi(
             "c_a",
             "c_b",
             F.round(pmi, 6).alias("pmi"),
+        )
+    )
+
+
+def tfidf_doc_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """TF-IDF cosine similarity between document pairs →
+    ``(id_a, id_b, n_shared long, cosine double)``.
+
+    Weight ``w(d,t) = tf · ln(N/df)``; pairs are generated by the
+    inverted-index equi-join on term (the dedup family's candidate
+    shape — no cartesian) and gated by EXACT INTEGER predicates so the
+    row set is engine-stable: ``n_shared`` co-occurring index terms ≥
+    ``min_shared``, and terms with ``df > max_df`` are dropped from the
+    PAIR-GENERATION index (impact-ordered stop-term pruning: ubiquitous
+    terms carry idf ≈ 0 AND blow up the hot join keys, so dropping them
+    bounds candidates at scale while barely moving the dot product).
+    Norms stay FULL-vocabulary, so the reported cosine is the true
+    cosine restricted to the index terms in the numerator.  The cosine
+    is the only float (rounded to 6).
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t"))
+        .groupBy("id", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = F.broadcast(
+        df.select(F.col(id_col)).distinct().agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs")
+        )
+    )
+    w = (
+        tf.join(F.broadcast(dfreq), "t")
+        .crossJoin(n_docs)
+        .select(
+            "id",
+            "t",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    idx = w if max_df is None else w.filter(F.col("df") <= int(max_df))
+    pairs = (
+        idx.alias("l")
+        .join(
+            idx.alias("r"),
+            (F.col("l.t") == F.col("r.t"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .groupBy(
+            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.sum(F.col("l.w") * F.col("r.w")).alias("dot"),
+        )
+        .filter(F.col("n_shared") >= int(min_shared))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("norm").alias("_na"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("norm").alias("_nb"))
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(
+                F.col("dot") / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cosine"),
         )
     )

@@ -2038,6 +2038,61 @@ WHERE c_ab >= {PMI_MIN_COUNT}"""
 SQL_BIGRAM_PMI = _sql_bigram_pmi()
 
 
+TFIDF_MIN_SHARED = 1
+TFIDF_MAX_DF = 50
+
+
+def q_tfidf_pairs(spark, sf_dir):
+    """TF-IDF doc-pair cosine (operators/corpus.py): inverted-index
+    candidates with impact-ordered stop-term pruning (terms with
+    df > 50 drop from the index — on this corpus that keeps only the
+    rare discriminative term, exactly the regime the prune exists for),
+    full-vocabulary norms, integer-gated row set."""
+    from unarxive_spark.operators.corpus import tfidf_doc_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_doc_pairs(
+        d, min_shared=TFIDF_MIN_SHARED, max_df=TFIDF_MAX_DF
+    )
+
+
+def _sql_tfidf_pairs() -> str:
+    tok = (
+        "list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+        "t -> t != '')"
+    )
+    return f"""
+WITH tf AS (
+  SELECT id, t, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id AS id, unnest({tok}) AS t FROM documents
+  ) GROUP BY 1, 2
+),
+dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       FROM documents),
+w AS (
+  SELECT id, t, df,
+         CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df) AS w
+  FROM tf JOIN dfreq USING (t), nd
+),
+norms AS (SELECT id, sqrt(sum(w * w)) AS norm FROM w GROUP BY 1),
+idx AS (SELECT * FROM w WHERE df <= {TFIDF_MAX_DF}),
+pairs AS (
+  SELECT l.id AS id_a, r.id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_shared, sum(l.w * r.w) AS dot
+  FROM idx l JOIN idx r ON l.t = r.t AND l.id < r.id
+  GROUP BY 1, 2 HAVING count(*) >= {TFIDF_MIN_SHARED}
+)
+SELECT id_a, id_b, n_shared,
+       round(dot / (na.norm * nb.norm), 6) AS cosine
+FROM pairs
+JOIN norms na ON na.id = id_a
+JOIN norms nb ON nb.id = id_b"""
+
+
+SQL_TFIDF_PAIRS = _sql_tfidf_pairs()
+
+
 SQL_EDIT_DISTANCE_PAIRS = """
 WITH names AS (
   SELECT DISTINCT c_name AS s FROM customer WHERE length(c_name) > 1
@@ -2148,6 +2203,7 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q93_decontaminate": q_decontaminate,
     "q94_bm25": q_bm25,
     "q95_bigram_pmi": q_bigram_pmi,
+    "q96_tfidf_pairs": q_tfidf_pairs,
     "q77_vocab_topk": q_vocab_topk,
     "q78_containment_pairs": q_containment_pairs,
     "q80_funnel": q_funnel,
@@ -2201,6 +2257,7 @@ TABULAR_ORACLES: dict[str, str] = {
     "q93_decontaminate": SQL_DECONTAMINATE,
     "q94_bm25": SQL_BM25,
     "q95_bigram_pmi": SQL_BIGRAM_PMI,
+    "q96_tfidf_pairs": SQL_TFIDF_PAIRS,
     "q77_vocab_topk": SQL_VOCAB_TOPK,
     "q78_containment_pairs": SQL_CONTAINMENT_PAIRS,
     "q80_funnel": SQL_FUNNEL,
