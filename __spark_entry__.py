@@ -60,11 +60,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_driver_parity.py::test_cap_rotation_covers_ungated_queries,
 # which also fails if a future query is added without extending this
 # tail).  Order within the tail: least-recently-green first.
-#   round 5 (this file): round-5 rows (q87+) enter the cap; the tail
-#     grows by the same number of multiply-green base-pipeline rows
-#     (q01/q02/q03/q06 — green in every r1-r4 artifact, and implicitly
-#     re-exercised by every in-cap graph query, which derives
-#     transcripts/edges through the same code path).
+#   round 5 (this file): the ten round-5 rows (q87-q96) enter the cap;
+#     the tail grows by ten multiply-green rows (q01/q02/q03/q06/q08/
+#     q14/q19/q37/q43/q44 — each green in at least two prior artifacts,
+#     q01-q03 implicitly re-exercised by every in-cap graph query,
+#     which derives transcripts/edges through the same code path, and
+#     all re-pinned every round by the DuckDB parity suite).
 _DEFER_LAST = (
     "q01_transcripts",
     "q02_mine_refs",
@@ -76,6 +77,7 @@ _DEFER_LAST = (
     "q37_cat_month_cube_full",
     "q44_lpa_modularity",
     "q43_scc",
+    "q39_taxonomy_rollup",
     "q61_anf",
     "q17_bfs",
     "q04_degree_topk",

@@ -192,6 +192,7 @@ def extended_queries(spark) -> dict[str, float]:
         q_chunk_documents,
         q_decontaminate,
         q_edit_distance_pairs,
+        q_duplicate_spans,
         q_pack_sequences,
         q_tfidf_pairs,
         q_weighted_priority_sample,
@@ -207,6 +208,7 @@ def extended_queries(spark) -> dict[str, float]:
         ("bm25", q_bm25),
         ("bigram_pmi", q_bigram_pmi),
         ("tfidf_pairs", q_tfidf_pairs),
+        ("duplicate_spans", q_duplicate_spans),
     ):
         _, times[name] = _timed(lambda q=q: q(spark, SF_DIR).count())
     return times

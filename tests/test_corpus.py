@@ -279,3 +279,29 @@ def test_tfidf_doc_pairs_matches_python_replay(spark):
     # 'common' (df=4) must never generate a pair on its own: doc 4
     # shares only 'common' with the others and must be absent
     assert not any(4 in pair for pair in got)
+
+
+def test_duplicate_spans_finds_planted_repeats(spark):
+    from unarxive_spark.operators.corpus import duplicate_spans
+
+    shared = "one two three four five"
+    rows = [
+        (1, f"{shared} alpha beta gamma"),
+        (2, f"delta {shared} epsilon"),          # shares the 5-gram
+        (3, "totally unrelated text goes here"),
+        (4, "totally unrelated text goes here"),  # exact dup of 3
+        (5, "short"),                             # < window: whole-doc hash
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_frac"])
+        for r in duplicate_spans(df, window=5).collect()
+    }
+    # docs 1+2 share exactly one 5-token window; 3+4 are whole-doc dups
+    toks = {d: t.split() for d, t in rows}
+    for d in (1, 2, 3, 4, 5):
+        assert got[d][0] == max(len(toks[d]) - 5, 0) + 1
+    assert got[1][1] == 1 and got[2][1] == 1
+    assert got[3] == (1, 1, 1.0) and got[4] == (1, 1, 1.0)
+    assert got[5] == (1, 0, 0.0)
+    assert got[1][2] == round(1 / got[1][0], 6)

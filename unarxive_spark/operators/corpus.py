@@ -40,6 +40,7 @@ __all__ = [
     "bm25_scores",
     "bigram_pmi",
     "tfidf_doc_pairs",
+    "duplicate_spans",
 ]
 
 
@@ -112,6 +113,11 @@ def pack_sequences(
     base = base.withColumn(
         "_sh", F.pmod(F.col("_h"), F.lit(int(n_shards)))
     )
+    # both the within-shard window AND the shard-size aggregate consume
+    # base; without materialization each would re-scan + re-tokenize
+    # the full corpus — at 100 TB that doubles the dominant cost.  The
+    # checkpointed table is narrow (id + three longs).
+    base = base.localCheckpoint(eager=False)
     w_in = (
         Window.partitionBy("_sh")
         .orderBy("_h", "id")
@@ -424,4 +430,72 @@ def tfidf_doc_pairs(
                 F.col("dot") / (F.col("_na") * F.col("_nb")), 6
             ).alias("cosine"),
         )
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 50,
+) -> DataFrame:
+    """Exact duplicate-span detection (the window-hash form of
+    ExactSubstr dedup, Lee et al. 2021 "Deduplicating Training Data
+    Makes Language Models Better") → per-document
+    ``(id, n_windows, n_dup_windows, dup_frac)``.
+
+    Every ``window``-token sliding window (stride 1) is hashed with the
+    portable h64; a window is DUPLICATED if its hash occurs at more
+    than one (doc, offset) position corpus-wide.  Window generation is
+    row-local (one hash row per token position — the same row scale as
+    any token-level op); the duplicate set is one map-side-combinable
+    groupBy over the hashes plus a semi-join back.  Documents shorter
+    than ``window`` tokens hash their full text (so exact whole-doc
+    duplicates still flag).  All counts exact integers; ``dup_frac``
+    is the only float (rounded to 6)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - F.lit(window), F.lit(0))
+    )
+    win_hashes = F.transform(
+        starts,
+        lambda i: h64(
+            F.concat_ws(" ", F.slice(toks, i + 1, F.lit(window)))
+        ),
+    )
+    wins = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(win_hashes).alias("pos", "wh"),
+    )
+    dup_hashes = (
+        wins.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("wh")
+    )
+    flagged = wins.join(dup_hashes, "wh", "left_semi")
+    per_doc = (
+        wins.groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_windows"))
+        .join(
+            flagged.groupBy("id").agg(
+                F.count(F.lit(1)).cast("long").alias("n_dup_windows")
+            ),
+            "id",
+            "left",
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
+    )
+    return per_doc.withColumn(
+        "dup_frac",
+        F.round(
+            F.col("n_dup_windows") / F.col("n_windows").cast("double"), 6
+        ),
     )

@@ -2093,6 +2093,55 @@ JOIN norms nb ON nb.id = id_b"""
 SQL_TFIDF_PAIRS = _sql_tfidf_pairs()
 
 
+DUPSPAN_WINDOW = 8
+
+
+def q_duplicate_spans(spark, sf_dir):
+    """Exact duplicate-span detection (operators/corpus.py): the
+    window-hash form of ExactSubstr dedup (Lee et al. 2021) — every
+    8-token sliding window hashed, a window is duplicated if its hash
+    occurs at >1 corpus position. The substring-level dedup signal the
+    document-level family (exact/MinHash/SimHash) cannot see."""
+    from unarxive_spark.operators.corpus import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_spans(d, window=DUPSPAN_WINDOW)
+
+
+def _sql_duplicate_spans() -> str:
+    from unarxive_spark.functions.hashing import h64_sql
+
+    w = DUPSPAN_WINDOW
+    tok = (
+        "list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+        "t -> t != '')"
+    )
+    h = h64_sql("s")
+    return f"""
+WITH d AS (SELECT doc_id, {tok} AS toks FROM documents),
+wins AS (
+  SELECT doc_id, {h} AS wh FROM (
+    SELECT doc_id, array_to_string(toks[i + 1 : i + {w}], ' ') AS s
+    FROM d, unnest(range(0, GREATEST(len(toks) - {w}, 0) + 1)) AS u(i))
+),
+dups AS (
+  SELECT wh FROM (SELECT wh, count(*) AS c FROM wins GROUP BY 1)
+  WHERE c > 1
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(count(*) FILTER (wh IN (SELECT wh FROM dups)) AS BIGINT)
+           AS n_dup_windows
+  FROM wins GROUP BY 1
+)
+SELECT doc_id, n_windows, n_dup_windows,
+       round(CAST(n_dup_windows AS DOUBLE) / n_windows, 6) AS dup_frac
+FROM per_doc"""
+
+
+SQL_DUPLICATE_SPANS = _sql_duplicate_spans()
+
+
 SQL_EDIT_DISTANCE_PAIRS = """
 WITH names AS (
   SELECT DISTINCT c_name AS s FROM customer WHERE length(c_name) > 1
@@ -2204,6 +2253,7 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q94_bm25": q_bm25,
     "q95_bigram_pmi": q_bigram_pmi,
     "q96_tfidf_pairs": q_tfidf_pairs,
+    "q97_duplicate_spans": q_duplicate_spans,
     "q77_vocab_topk": q_vocab_topk,
     "q78_containment_pairs": q_containment_pairs,
     "q80_funnel": q_funnel,
@@ -2258,6 +2308,7 @@ TABULAR_ORACLES: dict[str, str] = {
     "q94_bm25": SQL_BM25,
     "q95_bigram_pmi": SQL_BIGRAM_PMI,
     "q96_tfidf_pairs": SQL_TFIDF_PAIRS,
+    "q97_duplicate_spans": SQL_DUPLICATE_SPANS,
     "q77_vocab_topk": SQL_VOCAB_TOPK,
     "q78_containment_pairs": SQL_CONTAINMENT_PAIRS,
     "q80_funnel": SQL_FUNNEL,
