@@ -169,6 +169,12 @@ def decontaminate(
     :func:`shingles`), keys are h64 hashes; contamination is one
     equi-semi-join on the hash and the scrub is a left_anti back to
     ``train``.  At scale the benchmark side is tiny — broadcast."""
+    # shingling is explode-heavy: widen a narrow scan up front so the
+    # map side parallelizes (single-file parquet trap, dedup.py:322;
+    # AQE re-coalesces if the input was already wide)
+    train = train.repartition(
+        train.sparkSession.sparkContext.defaultParallelism
+    )
     sh = F.explode(
         F.transform(
             shingles(F.col(text_col), n), lambda s: h64(s)
