@@ -66,6 +66,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #     q01-q03 implicitly re-exercised by every in-cap graph query,
 #     which derives transcripts/edges through the same code path, and
 #     all re-pinned every round by the DuckDB parity suite).
+#   round 5 continuation: the new rows (q98 nn-descent, q99 bpe, q100
+#     unigram-lm, q101 temporal reach, q102 mixture sample) enter the
+#     cap; the tail grows by one multiply-green row each — q05
+#     (pagerank, green r1-r3, machinery in-cap via q42/q43/q44 which
+#     share the superstep gather), q33 (jaccard, green r1-r4, family
+#     in-cap via q75/q78/q96), q34 (cosine topk, green r1-r4, in-cap
+#     via q53/q54/q90/q98), q35 (cascade, green r1-r4, resolve
+#     machinery pinned by the 315-test suite), q52 (uniform walks,
+#     green r4, rank machinery in-cap via q72/q73/q88).
 _DEFER_LAST = (
     "q01_transcripts",
     "q02_mine_refs",
@@ -116,6 +125,7 @@ _DEFER_LAST = (
     "q12_role_histogram",
     "q09_cat_month_cube",
     "q11_link_rate",
+    "q05_pagerank",
 )
 
 

@@ -14,6 +14,8 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from unarxive_spark.functions.hashing import h64
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -343,6 +345,203 @@ def ivf_probe_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def _global_rank(df: DataFrame, id_col: str, key) -> DataFrame:
+    """Dense 1-based global rank in the deterministic total order
+    ``(key, h64(id), id)`` — the de-skewed two-stage form (within-key
+    window + broadcast per-key offsets, the pack_sequences/walks
+    pattern): no single-task global sort.  ``key`` must have bounded
+    cardinality (shard id, LSH bucket) so the offset table broadcasts;
+    per-task work is bounded by the largest key group."""
+    base = df.withColumn(
+        "_h", h64(F.col(id_col).cast("string"))
+    ).withColumn("_key", key)
+    base = base.localCheckpoint(eager=False)
+    w_in = Window.partitionBy("_key").orderBy("_h", id_col)
+    local = base.withColumn("_lrk", F.row_number().over(w_in))
+    sizes = base.groupBy("_key").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = (
+        Window.partitionBy()
+        .orderBy("_key")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = sizes.select(
+        "_key",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(offs), "_key")
+        .withColumn("grank", (F.col("_off") + F.col("_lrk")).cast("long"))
+        .drop("_h", "_key", "_lrk", "_off")
+    )
+
+
+def nn_descent(
+    emb: DataFrame,
+    k: int = 5,
+    rounds: int = 2,
+    init_k: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_shards: int = 16,
+    n_planes: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Graph-based ANN: NN-Descent (Dong, Moses & Li, WWW 2011) as
+    join/agg supersteps — the scale path HNSW occupies in single-node
+    libraries, re-expressed for Spark (an HNSW insertion order is
+    inherently sequential; NN-Descent converges to the same kNN graph
+    by iterating "my neighbors' neighbors are probably my neighbors",
+    which is exactly a self-join).
+
+    → final kNN graph ``(src_id, dst_id, cosine, rank)``: for every
+    vector the ``k`` most cosine-similar vectors found after
+    ``rounds`` refinement rounds.
+
+    Determinism (the driver oracle replays every round bit-for-bit —
+    both derandomizations go through the portable hash, no RNG):
+
+    - init: each vector's ``init_k`` circular successors in the
+      LSH-LOCALITY order ``(hyperplane bucket, h64(id), id)`` — near
+      vectors tend to share buckets, so the init graph starts warm
+      (the LSH-seeded init production NN-Descent variants use);
+    - each round ``r``: undirect the graph, self-join it
+      (neighbors-of-neighbors), ADD ``k`` exploration successors at
+      round-shifted offsets ``r·k+1 … r·k+k`` in the hash order
+      ``(h64 % n_shards, h64, id)`` (the derandomized form of
+      NN-Descent's ρ-sampling — without it the refinement stalls once
+      neighborhoods become pure), score only not-yet-kept pairs, keep
+      the top ``k`` per vector by ``(cosine desc, dst asc)``.
+
+    Scale shape: per-vector candidate count is bounded by
+    ``2k + (2k)^2``, so the per-round window is bounded per key — no
+    skew, no cartesian; scoring joins are equi-joins on vector id;
+    both global ranks are the de-skewed two-stage form.  State is
+    localCheckpointed per round (superstep discipline)."""
+    if init_k is None:
+        init_k = k
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("norm"),
+    ).filter(F.col("norm") > 0)
+    brank = _global_rank(
+        v, "id", hyperplane_sketch(F.col("vec"), n_planes, dim, seed)
+    ).localCheckpoint(eager=False)
+    hrank = _global_rank(
+        v.select("id"),
+        "id",
+        F.pmod(h64(F.col("id").cast("string")), F.lit(int(n_shards))),
+    ).localCheckpoint(eager=False)
+    n_total = F.broadcast(
+        hrank.agg(F.count(F.lit(1)).cast("long").alias("_nt"))
+    )
+
+    def successors(ranked: DataFrame, lo: int, hi: int) -> DataFrame:
+        """(src, dst) pairs: each id's circular successors at offsets
+        ``lo..hi`` in the given rank order."""
+        succ = (
+            ranked.select("id", "grank")
+            .crossJoin(n_total)
+            .select(
+                "id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(int(lo)), F.lit(int(hi))),
+                        lambda j: F.pmod(
+                            F.col("grank") - 1 + j.cast("long"),
+                            F.col("_nt"),
+                        )
+                        + 1,
+                    )
+                ).alias("_ng"),
+            )
+        )
+        return (
+            succ.join(
+                ranked.select(
+                    F.col("grank").alias("_ng"), F.col("id").alias("dst")
+                ),
+                "_ng",
+            )
+            .select(F.col("id").alias("src"), "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    pairs0 = successors(brank, 1, init_k)
+
+    def score(pairs: DataFrame) -> DataFrame:
+        lhs = v.select(
+            F.col("id").alias("src"),
+            F.col("vec").alias("_sv"),
+            F.col("norm").alias("_sn"),
+        )
+        rhs = v.select(
+            F.col("id").alias("dst"),
+            F.col("vec").alias("_dv"),
+            F.col("norm").alias("_dn"),
+        )
+        return (
+            pairs.join(lhs, "src")
+            .join(rhs, "dst")
+            .select(
+                "src",
+                "dst",
+                (
+                    _dot(F.col("_sv"), F.col("_dv"))
+                    / (F.col("_sn") * F.col("_dn"))
+                ).alias("cosine"),
+            )
+        )
+
+    w_top = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    graph = (
+        score(pairs0)
+        .withColumn("_rk", F.row_number().over(w_top))
+        .filter(F.col("_rk") <= int(k))
+        .drop("_rk")
+        .localCheckpoint(eager=True)
+    )
+    for r in range(1, int(rounds) + 1):
+        und = (
+            graph.select("src", "dst")
+            .unionByName(
+                graph.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            .distinct()
+        )
+        nn = (
+            und.alias("a")
+            .join(und.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(
+                F.col("a.src").alias("src"), F.col("b.dst").alias("dst")
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        explore = successors(hrank, r * int(k) + 1, (r + 1) * int(k))
+        cands = nn.unionByName(explore).distinct()
+        fresh = cands.join(
+            graph.select("src", "dst"), ["src", "dst"], "left_anti"
+        )
+        graph = (
+            graph.unionByName(score(fresh))
+            .withColumn("_rk", F.row_number().over(w_top))
+            .filter(F.col("_rk") <= int(k))
+            .drop("_rk")
+            .localCheckpoint(eager=True)
+        )
+    return graph.select(
+        F.col("src").alias("src_id"),
+        F.col("dst").alias("dst_id"),
+        "cosine",
+        F.row_number().over(w_top).alias("rank"),
     )
 
 

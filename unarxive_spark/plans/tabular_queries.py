@@ -680,6 +680,165 @@ FROM (
 ) WHERE rank <= 5"""
 
 
+NNDESC_K = 3
+NNDESC_ROUNDS = 2
+NNDESC_SHARDS = 16
+NNDESC_PLANES = 12
+NNDESC_SEED = 42
+
+
+def q_nn_descent(spark, sf_dir):
+    """Graph-based ANN: NN-Descent kNN-graph construction
+    (operators/similarity.py nn_descent) — the join-expressible
+    counterpart of HNSW.  LSH-bucket-ordered circular init, two
+    neighbor-of-neighbor refinement rounds with round-shifted
+    exploration successors (derandomized ρ-sampling); the oracle
+    replays init + both rounds bit-for-bit."""
+    from unarxive_spark.operators.similarity import nn_descent
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = nn_descent(
+        emb,
+        k=NNDESC_K,
+        rounds=NNDESC_ROUNDS,
+        init_k=NNDESC_K,
+        n_shards=NNDESC_SHARDS,
+        n_planes=NNDESC_PLANES,
+        dim=64,
+        seed=NNDESC_SEED,
+    )
+    return out.select(
+        "src_id", "dst_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def _sql_nn_descent() -> str:
+    from unarxive_spark.functions.hashing import h64_sql
+
+    k, shards = NNDESC_K, NNDESC_SHARDS
+    planes, seed, dim = NNDESC_PLANES, NNDESC_SEED, 64
+    h = h64_sql("CAST(id AS VARCHAR)")
+
+    def dot(a, b):
+        return (
+            f"list_sum(list_transform(range(1, len({a}) + 1), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        )
+
+    rounds_sql = ""
+    for r in range(1, NNDESC_ROUNDS + 1):
+        p = r - 1
+        rounds_sql += f""",
+u{r} AS MATERIALIZED (
+  SELECT src, dst FROM g{p}
+  UNION
+  SELECT dst, src FROM g{p}
+),
+fresh{r} AS (
+  SELECT src, dst FROM (
+    SELECT a.src AS src, b.dst AS dst
+    FROM u{r} a JOIN u{r} b ON a.dst = b.src
+    WHERE a.src != b.dst
+    UNION
+    SELECT a.id AS src, b.id AS dst
+    FROM hrank a
+    CROSS JOIN nt
+    CROSS JOIN range({r * k + 1}, {(r + 1) * k + 1}) j
+    JOIN hrank b ON b.grank = (a.grank - 1 + j.range) % nt.n + 1
+    WHERE a.id != b.id
+  )
+  EXCEPT
+  SELECT src, dst FROM g{p}
+),
+sf{r} AS (
+  SELECT f.src, f.dst,
+         {dot('vs.vec', 'vd.vec')} / (vs.norm * vd.norm) AS cosine
+  FROM fresh{r} f
+  JOIN v vs ON vs.id = f.src
+  JOIN v vd ON vd.id = f.dst
+),
+g{r} AS MATERIALIZED (
+  SELECT src, dst, cosine FROM (
+    SELECT src, dst, cosine,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cosine DESC, dst ASC) AS rk
+    FROM (SELECT * FROM g{p} UNION ALL SELECT * FROM sf{r})
+  ) WHERE rk <= {k}
+)"""
+
+    # ±1 hyperplane pattern identical to
+    # operators.similarity.hyperplane_sketch (and the q53 oracle)
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id AS id, embedding AS vec,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+  FROM embeddings
+  WHERE sqrt(list_sum(list_transform(embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+),
+planes AS (
+  SELECT p.range AS p, j.range AS j,
+         CASE WHEN CAST(('0x' || substr(
+                md5('{seed}|' || p.range || '|' || j.range), 1, 8))
+              AS BIGINT) % 2 = 0
+              THEN 1e0 ELSE -1e0 END AS s
+  FROM range({planes}) p, range({dim}) j
+),
+pvec AS (SELECT p, list(s ORDER BY j) AS svec FROM planes GROUP BY p),
+vproj AS (
+  SELECT v.id, sv.p,
+         list_sum(list_transform(range(1, len(v.vec) + 1),
+            i -> CAST(v.vec[i] AS DOUBLE) * sv.svec[i])) AS pr
+  FROM v CROSS JOIN pvec sv
+),
+vbkt AS (
+  SELECT id, CAST(SUM(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << p
+                           ELSE 0 END) AS BIGINT) AS bucket
+  FROM vproj GROUP BY id
+),
+brank AS MATERIALIZED (
+  SELECT id, row_number() OVER (ORDER BY bucket, h, id) AS grank
+  FROM (SELECT id, bucket, {h} AS h FROM vbkt)
+),
+hrank AS MATERIALIZED (
+  SELECT id, row_number() OVER (ORDER BY h % {shards}, h, id) AS grank
+  FROM (SELECT id, {h} AS h FROM v)
+),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM hrank),
+p0 AS (
+  SELECT DISTINCT a.id AS src, b.id AS dst
+  FROM brank a
+  CROSS JOIN nt
+  CROSS JOIN range(1, {k + 1}) j
+  JOIN brank b ON b.grank = (a.grank - 1 + j.range) % nt.n + 1
+  WHERE a.id != b.id
+),
+s0 AS (
+  SELECT p.src, p.dst,
+         {dot('vs.vec', 'vd.vec')} / (vs.norm * vd.norm) AS cosine
+  FROM p0 p
+  JOIN v vs ON vs.id = p.src
+  JOIN v vd ON vd.id = p.dst
+),
+g0 AS MATERIALIZED (
+  SELECT src, dst, cosine FROM (
+    SELECT src, dst, cosine,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cosine DESC, dst ASC) AS rk
+    FROM s0
+  ) WHERE rk <= {k}
+){rounds_sql}
+SELECT src AS src_id, dst AS dst_id, round(cosine, 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY src
+                               ORDER BY cosine DESC, dst ASC) AS INT)
+         AS rank
+FROM g{NNDESC_ROUNDS}"""
+
+
+SQL_NN_DESCENT = _sql_nn_descent()
+
+
 def q_match_cascade(spark, sf_dir):
     """J4 flagship-join analog: fuzzy mention → document resolution via
     the 3-level key cascade + containment filter + argmax(n_chars).
@@ -2254,6 +2413,7 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q95_bigram_pmi": q_bigram_pmi,
     "q96_tfidf_pairs": q_tfidf_pairs,
     "q97_duplicate_spans": q_duplicate_spans,
+    "q98_nn_descent": q_nn_descent,
     "q77_vocab_topk": q_vocab_topk,
     "q78_containment_pairs": q_containment_pairs,
     "q80_funnel": q_funnel,
@@ -2309,6 +2469,7 @@ TABULAR_ORACLES: dict[str, str] = {
     "q95_bigram_pmi": SQL_BIGRAM_PMI,
     "q96_tfidf_pairs": SQL_TFIDF_PAIRS,
     "q97_duplicate_spans": SQL_DUPLICATE_SPANS,
+    "q98_nn_descent": SQL_NN_DESCENT,
     "q77_vocab_topk": SQL_VOCAB_TOPK,
     "q78_containment_pairs": SQL_CONTAINMENT_PAIRS,
     "q80_funnel": SQL_FUNNEL,
