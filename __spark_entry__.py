@@ -126,6 +126,8 @@ _DEFER_LAST = (
     "q09_cat_month_cube",
     "q11_link_rate",
     "q05_pagerank",
+    "q33_jaccard_pairs",
+    "q34_cosine_topk",
 )
 
 

@@ -305,3 +305,142 @@ def test_duplicate_spans_finds_planted_repeats(spark):
     assert got[3] == (1, 1, 1.0) and got[4] == (1, 1, 1.0)
     assert got[5] == (1, 0, 0.0)
     assert got[1][2] == round(1 / got[1][0], 6)
+
+
+# --- BPE merge learning -------------------------------------------------
+
+BPE_DOCS = [
+    (1, "l o w l o w e r l o w e s t"),
+    (2, "n e w n e w e r n e w e s t"),
+    (3, "w i d e w i d e r w i d e s t"),
+]
+
+
+def _bpe_replay(docs, n_merges):
+    """Greedy corpus-level BPE: count adjacent pairs, merge the
+    (count desc, a asc, b asc) argmax left-to-right non-overlapping."""
+    state = [d.lower().split() for _, d in docs if d.split()]
+    rules = []
+    for rank in range(1, n_merges + 1):
+        counts = {}
+        for toks in state:
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            return rules, state, True
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        rules.append((rank, a, b, c))
+        new_state = []
+        for toks in state:
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            new_state.append(out)
+        state = new_state
+    return rules, state, False
+
+
+def test_bpe_merges_matches_greedy_replay(spark):
+    from unarxive_spark.operators.corpus import bpe_merges
+
+    df = spark.createDataFrame(BPE_DOCS, SCHEMA)
+    got = [
+        (r["merge_rank"], r["token_a"], r["token_b"], r["pair_count"])
+        for r in bpe_merges(df, n_merges=6).orderBy("merge_rank").collect()
+    ]
+    want, _, _ = _bpe_replay(BPE_DOCS, 6)
+    assert got == want
+
+
+def test_bpe_merges_overlap_is_left_to_right(spark):
+    """[a,a,a] under merge (a,a) must become [aa,a], not [a,aa]."""
+    from unarxive_spark.operators.corpus import bpe_merges, bpe_segment
+
+    df = spark.createDataFrame([(1, "a a a")], SCHEMA)
+    rules = bpe_merges(df, n_merges=1).collect()
+    assert [(r["token_a"], r["token_b"], r["pair_count"]) for r in rules] == [
+        ("a", "a", 2)
+    ]
+    seg = bpe_segment(df, [("a", "a")]).collect()
+    assert seg[0]["bpe_tokens"] == ["aa", "a"]
+    assert seg[0]["n_bpe_tokens"] == 2
+
+
+def test_bpe_merges_exhaustion_raises(spark):
+    from unarxive_spark.operators.corpus import bpe_merges
+
+    df = spark.createDataFrame([(1, "solo"), (2, "alone")], SCHEMA)
+    with pytest.raises(ValueError, match="exhausted"):
+        bpe_merges(df, n_merges=1)
+
+
+def test_bpe_segment_applies_learned_merges(spark):
+    from unarxive_spark.operators.corpus import bpe_merges, bpe_segment
+
+    df = spark.createDataFrame(BPE_DOCS, SCHEMA)
+    rules = bpe_merges(df, n_merges=6).orderBy("merge_rank").collect()
+    merges = [(r["token_a"], r["token_b"]) for r in rules]
+    got = {
+        r["doc_id"]: (r["bpe_tokens"], r["n_bpe_tokens"])
+        for r in bpe_segment(df, merges).collect()
+    }
+    _, state, _ = _bpe_replay(BPE_DOCS, 6)
+    for (did, _), toks in zip(BPE_DOCS, state):
+        assert got[did] == (toks, len(toks))
+    # merges actually compressed the stream
+    assert all(
+        got[did][1] < len(text.split()) for did, text in BPE_DOCS
+    )
+
+
+def test_unigram_lm_scores_matches_replay(spark):
+    """Laplace unigram LM cross-entropy replayed in pure Python."""
+    from unarxive_spark.operators.corpus import unigram_lm_scores
+
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["cross_entropy"],
+            r["perplexity"],
+        )
+        for r in unigram_lm_scores(df).collect()
+    }
+    toks = {d: t.lower().split() for d, t in DOCS}
+    cnt = {}
+    for ts in toks.values():
+        for t in ts:
+            cnt[t] = cnt.get(t, 0) + 1
+    n_total, vocab = sum(cnt.values()), len(cnt)
+    lnz = math.log(n_total + vocab)
+    want = {}
+    for d, ts in toks.items():
+        n = len(ts)
+        s = sum(math.log(cnt[t] + 1) for t in ts)
+        ce = (n * lnz - s) / n
+        want[d] = (n, round(ce, 6), round(math.exp(ce), 6))
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0]
+        assert got[d][1] == pytest.approx(want[d][1], abs=2e-6)
+        assert got[d][2] == pytest.approx(want[d][2], abs=2e-5)
+    # in DOCS every token is a corpus hapax (c=1), so all docs share
+    # ce = ln(N+V) - ln 2 — a strong parity pin on the scalar math
+    assert len({v[1] for v in got.values()}) == 1
+    # frequency ordering: on a corpus with repeats, a doc of frequent
+    # tokens must score lower cross-entropy than a hapax-heavy one
+    mixed = BPE_DOCS + [(9, "qq rr ss tt uu vv ww xx yy zz")]
+    got2 = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in unigram_lm_scores(
+            spark.createDataFrame(mixed, SCHEMA)
+        ).collect()
+    }
+    assert got2[9] > max(got2[d] for d, _ in BPE_DOCS)

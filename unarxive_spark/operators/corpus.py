@@ -41,6 +41,9 @@ __all__ = [
     "bigram_pmi",
     "tfidf_doc_pairs",
     "duplicate_spans",
+    "bpe_merges",
+    "bpe_segment",
+    "unigram_lm_scores",
 ]
 
 
@@ -504,4 +507,198 @@ def duplicate_spans(
         F.round(
             F.col("n_dup_windows") / F.col("n_windows").cast("double"), 6
         ),
+    )
+
+
+# BPE merge learning works on a delimited-string representation of each
+# document's token sequence: every token is wrapped as \x01tok\x01 and
+# tokens concatenated, so merging the pair (a, b) is one literal
+# replace of \x01a\x01\x01b\x01 with \x01ab\x01 — a LEFT-TO-RIGHT
+# NON-OVERLAPPING scan in both Spark (UTF8String.replace) and DuckDB
+# (replace), which is exactly the greedy BPE apply order.
+_BPE_SEP = "\x01"
+
+
+def _bpe_state(df: DataFrame, text_col: str) -> DataFrame:
+    """documents → one wrapped token-stream string per document."""
+    raw = F.translate(F.col(text_col), _BPE_SEP, "")
+    toks = tokens(F.lower(raw))
+    return (
+        df.select(toks.alias("_toks"))
+        .filter(F.size("_toks") > 0)
+        .select(
+            F.concat(
+                F.lit(_BPE_SEP),
+                F.concat_ws(_BPE_SEP + _BPE_SEP, F.col("_toks")),
+                F.lit(_BPE_SEP),
+            ).alias("s")
+        )
+    )
+
+
+def _bpe_pairs(state: DataFrame) -> DataFrame:
+    """wrapped strings → (a, b, c) adjacent-pair counts."""
+    arr = F.split(
+        F.expr("substring(s, 2, length(s) - 2)"), _BPE_SEP + _BPE_SEP
+    )
+    seq = F.when(
+        F.size(arr) >= 2, F.sequence(F.lit(0), F.size(arr) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = F.explode(
+        F.transform(
+            seq,
+            lambda i: F.struct(
+                arr[i].alias("a"), arr[i + 1].alias("b")
+            ),
+        )
+    )
+    return (
+        state.select(pairs.alias("_p"))
+        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def bpe_merges(
+    df: DataFrame, n_merges: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Distributed byte-pair-encoding merge learning (Sennrich et al.
+    2016 — the tokenizer-training pass of an LLM data pipeline) →
+    the learned merge table ``(merge_rank int, token_a, token_b,
+    pair_count long)``.
+
+    Each round: count adjacent token pairs corpus-wide (explode +
+    map-side-combinable groupBy), pick the most frequent pair with the
+    deterministic tie-break ``(count desc, a asc, b asc)``, merge every
+    left-to-right non-overlapping occurrence (one literal ``replace``
+    on the wrapped-string state — row-local, no shuffle), repeat.  The
+    per-round argmax is the ONLY driver-side value (a 1-row merge
+    rule — metadata-sized loop control, the same discipline as the IVF
+    probe list); corpus state is localCheckpointed per round.
+
+    Raises if the corpus runs out of adjacent pairs before
+    ``n_merges`` rounds (keeps engine and fixed-depth oracle in
+    lockstep — no silent truncation)."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    spark = df.sparkSession
+    state = _bpe_state(df, text_col).localCheckpoint(eager=True)
+    rules = []
+    for rank in range(1, int(n_merges) + 1):
+        top = (
+            _bpe_pairs(state)
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            raise ValueError(
+                f"corpus exhausted adjacent pairs after {rank - 1} merges"
+            )
+        a, b, c = top[0]["a"], top[0]["b"], top[0]["c"]
+        rules.append((rank, a, b, int(c)))
+        pat = _BPE_SEP + a + _BPE_SEP + _BPE_SEP + b + _BPE_SEP
+        rep = _BPE_SEP + a + b + _BPE_SEP
+        state = state.select(
+            F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s")
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        rules,
+        "merge_rank int, token_a string, token_b string, pair_count long",
+    )
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge list to documents → ``(id, bpe_tokens
+    array<string>, n_bpe_tokens long)``.  Row-local (a chain of literal
+    replaces on the wrapped-string form, in merge order) — the operator
+    adds no shuffle; at scale this is the tokenization map stage."""
+    raw = F.translate(F.col(text_col), _BPE_SEP, "")
+    toks = tokens(F.lower(raw))
+    s = F.concat(
+        F.lit(_BPE_SEP),
+        F.concat_ws(_BPE_SEP + _BPE_SEP, toks),
+        F.lit(_BPE_SEP),
+    )
+    for a, b in merges:
+        pat = _BPE_SEP + a + _BPE_SEP + _BPE_SEP + b + _BPE_SEP
+        rep = _BPE_SEP + a + b + _BPE_SEP
+        s = F.replace(s, F.lit(pat), F.lit(rep))
+    arr = F.when(
+        F.size(toks) > 0,
+        F.split(
+            F.substring(s, 2, F.length(s) - 2),
+            _BPE_SEP + _BPE_SEP,
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col),
+        arr.alias("bpe_tokens"),
+        F.size(arr).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def unigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained add-one unigram language model scoring each
+    document → ``(id, n_tokens long, cross_entropy double,
+    perplexity double)`` — the LM-perplexity quality filter of a
+    training-data pipeline (CCNet-style: documents whose perplexity
+    under a corpus LM is extreme get dropped; reference quality analog:
+    the per-paper length/section stats of
+    ``/root/reference/src/utility_scripts/calc_stats.py``).
+
+    ``p(t) = (c_t + 1) / (N + V)`` with integer ``c_t`` (corpus term
+    count), ``N`` (corpus token count), ``V`` (vocabulary size);
+    ``cross_entropy(d) = (n_d·ln(N + V) − Σ_t tf_dt·ln(c_t + 1)) /
+    n_d`` — every input to each ``ln`` is an exact integer, so both
+    engines evaluate identical expressions and only the final sums are
+    floating (rounded to 6).
+
+    Plan: one explode+groupBy for per-(doc, term) tf, one groupBy for
+    corpus counts, a broadcast 1-row (N, V) scalar — the tf↔counts
+    join shuffles on the term key (vocabulary-sized right side; NOT
+    broadcast, a 100-TB corpus vocabulary is data-sized), then a
+    map-side-combinable per-doc aggregate."""
+    toks = tokens(F.lower(F.col(text_col)))
+    docs = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    tf = (
+        docs.select("id", F.explode("_toks").alias("t"))
+        .groupBy("id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cnt = tf.groupBy("t").agg(F.sum("tf").cast("long").alias("c"))
+    scalars = F.broadcast(
+        cnt.agg(
+            F.sum("c").cast("long").alias("_n_total"),
+            F.count(F.lit(1)).cast("long").alias("_vocab"),
+        )
+    )
+    lnz = F.log(F.col("_n_total") + F.col("_vocab"))
+    ce = (
+        F.col("n_tokens") * lnz - F.col("_s")
+    ) / F.col("n_tokens")
+    return (
+        tf.join(cnt, "t")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(
+                F.col("tf") * F.log(F.col("c") + F.lit(1))
+            ).alias("_s"),
+        )
+        .crossJoin(scalars)
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.round(ce, 6).alias("cross_entropy"),
+            F.round(F.exp(ce), 6).alias("perplexity"),
+        )
     )

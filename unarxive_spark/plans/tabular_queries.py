@@ -839,6 +839,116 @@ FROM g{NNDESC_ROUNDS}"""
 SQL_NN_DESCENT = _sql_nn_descent()
 
 
+BPE_MERGES = 6
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge learning (operators/corpus.py): 6 greedy
+    merge rounds over the documents corpus — the tokenizer-training
+    pass of an LLM data pipeline. Per round: corpus-wide adjacent-pair
+    count (map-side-combinable groupBy), deterministic argmax
+    (count desc, a asc, b asc), one literal-replace merge applied
+    row-locally. The oracle unrolls the six rounds as MATERIALIZED
+    CTEs and replays the same left-to-right non-overlapping replace —
+    both engines' ``replace`` scans left-to-right, which IS the greedy
+    BPE apply order. Exhaustion raises in the engine and empties a
+    round in the oracle (row-count mismatch), so truncation can never
+    silently diverge."""
+    from unarxive_spark.operators.corpus import bpe_merges
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_merges(d, n_merges=BPE_MERGES)
+
+
+def _sql_bpe_merges() -> str:
+    sep = "chr(1)"
+    sep2 = "(chr(1) || chr(1))"
+    tok = (
+        "list_filter(string_split_regex(trim(lower("
+        "replace(text, chr(1), ''))), '\\s+'), t -> t != '')"
+    )
+    parts = [
+        f"""
+WITH s0 AS MATERIALIZED (
+  SELECT {sep} || array_to_string(toks, {sep2}) || {sep} AS s
+  FROM (SELECT {tok} AS toks FROM documents)
+  WHERE len(toks) > 0
+)"""
+    ]
+    for k in range(1, BPE_MERGES + 1):
+        prev = f"s{k - 1}"
+        parts.append(
+            f""",
+p{k} AS MATERIALIZED (
+  SELECT toks[i] AS a, toks[i + 1] AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT string_split(substr(s, 2, length(s) - 2), {sep2})
+          AS toks
+        FROM {prev}),
+       unnest(range(1, len(toks))) AS u(i)
+  GROUP BY 1, 2
+),
+t{k} AS MATERIALIZED (
+  SELECT {k} AS merge_rank, a AS token_a, b AS token_b,
+         c AS pair_count
+  FROM p{k} ORDER BY c DESC, a ASC, b ASC LIMIT 1
+),
+s{k} AS MATERIALIZED (
+  SELECT replace(s,
+                 {sep} || token_a || {sep} || {sep} || token_b || {sep},
+                 {sep} || token_a || token_b || {sep}) AS s
+  FROM {prev}, t{k}
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM t{k}" for k in range(1, BPE_MERGES + 1)
+    )
+    return "".join(parts) + "\n" + union
+
+
+SQL_BPE_MERGES = _sql_bpe_merges()
+
+
+def q_unigram_lm(spark, sf_dir):
+    """Corpus-trained Laplace unigram LM scoring (operators/corpus.py)
+    — the perplexity quality filter of an LLM data pipeline. Every
+    ``ln`` input is an exact integer (c+1 and N+V), so both engines
+    evaluate identical expressions; only the two per-doc sums float
+    (rounded to 6)."""
+    from unarxive_spark.operators.corpus import unigram_lm_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_lm_scores(d)
+
+
+def _sql_unigram_lm() -> str:
+    tok = (
+        "list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+        "t -> t != '')"
+    )
+    ce = (
+        "(sum(tf) * ln(n_total + vocab) - sum(tf * ln(c + 1)))"
+        " / sum(tf)"
+    )
+    return f"""
+WITH tf AS (
+  SELECT id, t, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id AS id, unnest({tok}) AS t FROM documents
+  ) GROUP BY 1, 2
+),
+cnt AS (SELECT t, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+sc AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+              CAST(count(*) AS BIGINT) AS vocab FROM cnt)
+SELECT id AS doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round({ce}, 6) AS cross_entropy,
+       round(exp({ce}), 6) AS perplexity
+FROM tf JOIN cnt USING (t), sc
+GROUP BY id, n_total, vocab"""
+
+
+SQL_UNIGRAM_LM = _sql_unigram_lm()
+
+
 def q_match_cascade(spark, sf_dir):
     """J4 flagship-join analog: fuzzy mention → document resolution via
     the 3-level key cascade + containment filter + argmax(n_chars).
@@ -2414,6 +2524,8 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_tfidf_pairs": q_tfidf_pairs,
     "q97_duplicate_spans": q_duplicate_spans,
     "q98_nn_descent": q_nn_descent,
+    "q99_bpe_merges": q_bpe_merges,
+    "q100_unigram_lm": q_unigram_lm,
     "q77_vocab_topk": q_vocab_topk,
     "q78_containment_pairs": q_containment_pairs,
     "q80_funnel": q_funnel,
@@ -2470,6 +2582,8 @@ TABULAR_ORACLES: dict[str, str] = {
     "q96_tfidf_pairs": SQL_TFIDF_PAIRS,
     "q97_duplicate_spans": SQL_DUPLICATE_SPANS,
     "q98_nn_descent": SQL_NN_DESCENT,
+    "q99_bpe_merges": SQL_BPE_MERGES,
+    "q100_unigram_lm": SQL_UNIGRAM_LM,
     "q77_vocab_topk": SQL_VOCAB_TOPK,
     "q78_containment_pairs": SQL_CONTAINMENT_PAIRS,
     "q80_funnel": SQL_FUNNEL,
