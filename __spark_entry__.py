@@ -128,6 +128,8 @@ _DEFER_LAST = (
     "q05_pagerank",
     "q33_jaccard_pairs",
     "q34_cosine_topk",
+    "q35_match_cascade",
+    "q52_random_walks",
 )
 
 

@@ -214,3 +214,62 @@ def test_weighted_priority_sample_rejects_bad_weights(spark):
     )
     with _pytest.raises(Exception, match="weights must be integers"):
         weighted_priority_sample(df2, 2, ["grp"], "id", "w").collect()
+
+
+def test_mixture_sample_exact_allocation(spark):
+    """n_copies replayed in pure Python over the canonical
+    (shard, h64, id) order; realized counts hit ⌊w⌋·N + ⌈frac·N⌉
+    exactly per domain."""
+    import hashlib
+
+    from unarxive_spark.operators.mltasks import mixture_sample
+
+    rows = [(f"d{i:03d}", f"dom{i % 4}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    weights = {"dom0": 250, "dom1": 1500, "dom2": 3400, "dom3": 0}
+    got = {
+        r["doc_id"]: (r["source"], r["n_copies"])
+        for r in mixture_sample(df, weights, n_shards=8).collect()
+    }
+    assert len(got) == 200
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = {}
+    for dom in sorted({d for _, d in rows}):
+        members = sorted(
+            (i for i, d in rows if d == dom),
+            key=lambda i: (h(i) % 8, h(i), i),
+        )
+        pm = weights.get(dom, 1000)
+        n = len(members)
+        extra = ((pm % 1000) * n + 999) // 1000
+        for rk, i in enumerate(members, 1):
+            want[i] = (dom, pm // 1000 + (1 if rk <= extra else 0))
+    assert got == want
+    # realized totals are the exact target allocation
+    for dom, pm in weights.items():
+        n = sum(1 for _, d in rows if d == dom)
+        realized = sum(c for d, c in got.values() if d == dom)
+        assert realized == (pm // 1000) * n + ((pm % 1000) * n + 999) // 1000
+    # regimes: dom3 fully dropped, dom2 has 3- and 4-copy docs
+    assert {c for d, c in got.values() if d == "dom3"} == {0}
+    assert {c for d, c in got.values() if d == "dom2"} == {3, 4}
+
+
+def test_mixture_sample_default_weight_and_validation(spark):
+    import pytest as _pytest
+
+    from unarxive_spark.operators.mltasks import mixture_sample
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", "y")], "doc_id string, source string"
+    )
+    got = {
+        r["doc_id"]: r["n_copies"]
+        for r in mixture_sample(df, {"x": 2000}).collect()
+    }
+    assert got == {"a": 2, "b": 1}  # unlisted domain y defaults to 1000
+    with _pytest.raises(ValueError, match="non-negative"):
+        mixture_sample(df, {"x": -5})

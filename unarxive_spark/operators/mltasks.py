@@ -265,3 +265,92 @@ def weighted_priority_sample(
         .filter(F.col("_grk") <= k)
         .drop("_pri", "_sh", "_rk", "_grk")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights_permille: dict[str, int],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    n_shards: int = 32,
+) -> DataFrame:
+    """Domain-mixture sampling → ``(id, domain, n_copies long)`` — the
+    data-mixture pass of LLM pretraining (Pile/DoReMi-style domain
+    reweighting): a domain with weight w is repeated ⌊w⌋ times plus one
+    extra copy for EXACTLY ⌈frac(w)·N_dom⌉ deterministically-chosen
+    documents, so realized domain sizes hit the target allocation
+    exactly (not in expectation).  Weights are integer per-mille
+    (1500 = 1.5 epochs; 250 = keep a quarter; unlisted domains default
+    to 1000 = one copy), so every threshold is exact integer
+    arithmetic — no cross-engine float rounding.
+
+    The extra-copy pick is the ``⌈frac·N⌉`` lowest documents per domain
+    in the canonical order ``(shard, h64(id), id)`` with
+    ``shard = h64(id) % n_shards`` — the same de-skewed two-level rank
+    as :func:`pack_sequences`: a within-(domain, shard) window plus a
+    broadcastable ≤|domains|·n_shards-row offset join, never a
+    whole-domain single-task sort (at 100 TB one domain can be a fifth
+    of the corpus)."""
+    if any(
+        int(w) < 0 or int(w) != w for w in weights_permille.values()
+    ):
+        raise ValueError("weights_permille must be non-negative ints")
+    h = h64(F.col(id_col).cast("string"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(domain_col).alias("domain"),
+        h.alias("_h"),
+    ).withColumn("_sh", F.pmod(F.col("_h"), F.lit(int(n_shards))))
+    w_in = Window.partitionBy("domain", "_sh").orderBy("_h", "id")
+    ranked = base.withColumn("_rk_in", F.row_number().over(w_in))
+    sizes = base.groupBy("domain", "_sh").agg(
+        F.count(F.lit(1)).alias("_n_sh")
+    )
+    w_off = (
+        Window.partitionBy("domain")
+        .orderBy("_sh")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = sizes.select(
+        "domain",
+        "_sh",
+        F.coalesce(F.sum("_n_sh").over(w_off), F.lit(0)).alias("_off"),
+    )
+    n_dom = sizes.groupBy("domain").agg(
+        F.sum("_n_sh").cast("long").alias("_n_dom")
+    )
+    pm = F.coalesce(
+        *(
+            [
+                F.element_at(
+                    F.create_map(
+                        *[
+                            F.lit(x)
+                            for kv in sorted(weights_permille.items())
+                            for x in kv
+                        ]
+                    ),
+                    F.col("domain"),
+                )
+            ]
+            if weights_permille
+            else []
+        ),
+        F.lit(1000),
+    ).cast("long")
+    rank = F.col("_off") + F.col("_rk_in")
+    extra_n = F.floor(
+        ((pm % 1000) * F.col("_n_dom") + 999) / F.lit(1000)
+    )
+    n_copies = F.floor(pm / 1000) + F.when(
+        rank <= extra_n, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        ranked.join(F.broadcast(offs), ["domain", "_sh"])
+        .join(F.broadcast(n_dom), "domain")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("domain").alias(domain_col),
+            n_copies.cast("long").alias("n_copies"),
+        )
+    )

@@ -2201,6 +2201,54 @@ WHERE EXISTS (SELECT 1 FROM f{depth})"""
 SQL_BETWEENNESS = _sql_betweenness(BC_ORACLE_DEPTH, BC_SOURCES)
 
 
+TEMPORAL_MAX_ROUNDS = 16  # sf0.01 fixpoint is 11 sync rounds
+
+
+def q_temporal_reach(spark, sf_dir):
+    """Time-respecting earliest-arrival reachability from c000000 over
+    the event-derived temporal edge stream (operators/temporal.py) —
+    an edge is traversable only at-or-after arrival at its source.
+    Strict: the engine raises if arrivals still improve at the round
+    bound, so a green row proves fixpoint; the oracle's recursive CTE
+    enumerates every ≤16-hop time-respecting path (a superset of the
+    ≤fixpoint-hop paths the engine could use), and any longer path's
+    arrival can only be ≥ the fixpoint minimum. Timestamps compare as
+    exact integer microseconds in both engines."""
+    from unarxive_spark.operators.temporal import (
+        temporal_edges_from_events,
+        temporal_reachability,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    te = temporal_edges_from_events(ev, mod=MOD)
+    return temporal_reachability(
+        te, "c000000", max_rounds=TEMPORAL_MAX_ROUNDS
+    )
+
+
+_TDST = f"(user_id * 7 + {_K}) % {MOD}"
+SQL_TEMPORAL_REACH = f"""
+WITH tedges AS MATERIALIZED (
+  SELECT printf('c%06d', user_id) AS src,
+         printf('c%06d', {_TDST}) AS dst,
+         epoch_us(ts) AS et
+  FROM events
+  WHERE {_TDST} != user_id
+    AND {_TDST} IN (SELECT DISTINCT user_id FROM events)
+),
+walk AS (
+  WITH RECURSIVE r(conv_id, t, hop) AS (
+    SELECT 'c000000', CAST(0 AS BIGINT), 0
+    UNION
+    SELECT e.dst, e.et, r.hop + 1
+    FROM r JOIN tedges e ON e.src = r.conv_id AND e.et >= r.t
+    WHERE r.hop < {TEMPORAL_MAX_ROUNDS}
+  ) SELECT * FROM r
+)
+SELECT conv_id, CAST(min(t) AS BIGINT) AS reach_us
+FROM walk GROUP BY 1"""
+
+
 GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_transcripts": q_transcripts,
     "q02_mine_refs": q_mine_refs,
@@ -2249,6 +2297,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_mis": q_mis,
     "q65_harmonic": q_harmonic,
     "q69_betweenness": q_betweenness,
+    "q101_temporal_reach": q_temporal_reach,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
@@ -2297,4 +2346,5 @@ GRAPH_ORACLES: dict[str, str] = {
     "q63_mis": SQL_MIS,
     "q65_harmonic": SQL_HARMONIC,
     "q69_betweenness": SQL_BETWEENNESS,
+    "q101_temporal_reach": SQL_TEMPORAL_REACH,
 }

@@ -949,6 +949,56 @@ GROUP BY id, n_total, vocab"""
 SQL_UNIGRAM_LM = _sql_unigram_lm()
 
 
+# integer per-mille mixture weights: downsample / upsample+frac /
+# multi-epoch / drop; unlisted domains default to 1000 (one copy)
+MIXTURE_WEIGHTS = {"src0": 250, "src1": 1500, "src2": 3400, "src3": 0}
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Domain-mixture sampling (operators/mltasks.py): exact integer
+    per-mille reweighting of the documents corpus by source domain —
+    ⌊w⌋ copies plus one extra for exactly ⌈frac·N_dom⌉ docs picked in
+    the canonical de-skewed (shard, h64, id) order. All thresholds are
+    integer arithmetic, so the oracle reproduces copies row-for-row."""
+    from unarxive_spark.operators.mltasks import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_sample(d, MIXTURE_WEIGHTS, n_shards=32)
+
+
+def _sql_mixture_sample() -> str:
+    from unarxive_spark.functions.hashing import h64_sql
+
+    h = h64_sql("CAST(doc_id AS VARCHAR)")
+    vals = ", ".join(
+        f"('{s}', {pm})" for s, pm in sorted(MIXTURE_WEIGHTS.items())
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, {h} AS hh FROM documents
+),
+ranked AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY hh % 32, hh, doc_id
+         ) AS BIGINT) AS rk
+  FROM base
+),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+          FROM base GROUP BY 1),
+wts(source, pm) AS (VALUES {vals})
+SELECT doc_id, r.source,
+       CAST(coalesce(pm, 1000) // 1000 + CASE
+         WHEN rk <= ((coalesce(pm, 1000) % 1000) * n + 999) // 1000
+         THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+FROM ranked r
+JOIN sizes s ON s.source = r.source
+LEFT JOIN wts w ON w.source = r.source"""
+
+
+SQL_MIXTURE_SAMPLE = _sql_mixture_sample()
+
+
 def q_match_cascade(spark, sf_dir):
     """J4 flagship-join analog: fuzzy mention → document resolution via
     the 3-level key cascade + containment filter + argmax(n_chars).
@@ -2526,6 +2576,7 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q98_nn_descent": q_nn_descent,
     "q99_bpe_merges": q_bpe_merges,
     "q100_unigram_lm": q_unigram_lm,
+    "q102_mixture_sample": q_mixture_sample,
     "q77_vocab_topk": q_vocab_topk,
     "q78_containment_pairs": q_containment_pairs,
     "q80_funnel": q_funnel,
@@ -2584,6 +2635,7 @@ TABULAR_ORACLES: dict[str, str] = {
     "q98_nn_descent": SQL_NN_DESCENT,
     "q99_bpe_merges": SQL_BPE_MERGES,
     "q100_unigram_lm": SQL_UNIGRAM_LM,
+    "q102_mixture_sample": SQL_MIXTURE_SAMPLE,
     "q77_vocab_topk": SQL_VOCAB_TOPK,
     "q78_containment_pairs": SQL_CONTAINMENT_PAIRS,
     "q80_funnel": SQL_FUNNEL,
