@@ -999,6 +999,54 @@ LEFT JOIN wts w ON w.source = r.source"""
 SQL_MIXTURE_SAMPLE = _sql_mixture_sample()
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot CDC (operators/diffs.py): two deterministic versions of
+    the orders table (old = orderdate < 1998; new = [1996, 2000) with
+    o_totalprice bumped for orderkey % 7 == 0) diffed into
+    insert/delete/update rows — one co-partitioned full outer join,
+    null-safe column compare, no window."""
+    from unarxive_spark.operators.diffs import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    new = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
+    ).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS pr
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+),
+n AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+              ELSE o_totalprice END AS pr
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '2000-01-01'
+)
+SELECT o_orderkey, change_type FROM (
+  SELECT COALESCE(o.k, n.k) AS o_orderkey,
+         CASE WHEN o.k IS NULL THEN 'insert'
+              WHEN n.k IS NULL THEN 'delete'
+              WHEN (o.st IS DISTINCT FROM n.st)
+                OR (o.pr IS DISTINCT FROM n.pr) THEN 'update'
+         END AS change_type
+  FROM o FULL JOIN n ON o.k = n.k
+) WHERE change_type IS NOT NULL"""
+
+
 def q_match_cascade(spark, sf_dir):
     """J4 flagship-join analog: fuzzy mention → document resolution via
     the 3-level key cascade + containment filter + argmax(n_chars).
@@ -2577,6 +2625,7 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q99_bpe_merges": q_bpe_merges,
     "q100_unigram_lm": q_unigram_lm,
     "q102_mixture_sample": q_mixture_sample,
+    "q103_snapshot_diff": q_snapshot_diff,
     "q77_vocab_topk": q_vocab_topk,
     "q78_containment_pairs": q_containment_pairs,
     "q80_funnel": q_funnel,
@@ -2636,6 +2685,7 @@ TABULAR_ORACLES: dict[str, str] = {
     "q99_bpe_merges": SQL_BPE_MERGES,
     "q100_unigram_lm": SQL_UNIGRAM_LM,
     "q102_mixture_sample": SQL_MIXTURE_SAMPLE,
+    "q103_snapshot_diff": SQL_SNAPSHOT_DIFF,
     "q77_vocab_topk": SQL_VOCAB_TOPK,
     "q78_containment_pairs": SQL_CONTAINMENT_PAIRS,
     "q80_funnel": SQL_FUNNEL,
