@@ -1,0 +1,229 @@
+"""Generalized suffix array over the token corpus, by distributed
+prefix doubling, plus adjacent-suffix LCPs — the exact-substring
+machinery behind suffix-array dedup (Lee et al. 2021, "Deduplicating
+Training Data Makes Language Models Better"): the maximum LCP between
+any two suffixes IS the longest repeated token sequence in the corpus,
+and the per-length pair histogram is the repeated-span spectrum that
+q97's fixed-window screen can only sample at one window size.
+
+Suffixes are identified as ``(doc_id, off)`` — a *generalized* suffix
+array over the document set, so no cross-document sentinel tokens are
+needed (a suffix simply ends at its document's end; rank blocks that
+run past the end compare via a -1 pad, which can never equal a real
+rank).  Everything is exact integer arithmetic — ranks, offsets,
+lengths — so a DuckDB oracle replays the construction bit-for-bit.
+
+Scale shape (100 TB): prefix doubling is the textbook distributed
+construction — O(log maxlen) supersteps, each one distinct + one
+exact global dense-rank + two hash equi-joins, all on the
+(doc_id, off) key space.  The global sort-rank itself is de-skewed:
+range-repartition, rank within partition, add broadcast partition
+offsets (``_global_dense_ranks``) — no single-task whole-corpus
+window anywhere.  LCPs then come from binary lifting over the saved
+per-round rank tables: O(log maxlen) bounded left joins, no
+token-by-token comparison loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from unarxive_spark.functions.texttools import tokens
+
+__all__ = ["suffix_ranks", "repeated_span_histogram"]
+
+
+def _global_dense_ranks(
+    df: DataFrame,
+    cols: list[str],
+    out_col: str,
+    n_parts: int = 32,
+) -> DataFrame:
+    """Attach the exact 1-based dense rank of the ``cols`` tuple in
+    ascending lexicographic order over the whole frame.
+
+    Distributed: DISTINCT tuples are range-repartitioned (equal tuples
+    land together by construction), ranked within each partition, and
+    shifted by broadcast per-partition row-count offsets — partition
+    boundaries come from sampling but the resulting rank is a pure
+    function of the data."""
+    d = df.select(*cols).distinct()
+    d = d.repartitionByRange(n_parts, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    local = d.withColumn("_lrk", F.row_number().over(w))
+    sizes = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = (
+        Window.partitionBy()
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = sizes.select(
+        "_pid",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+    )
+    ranked = local.join(F.broadcast(offs), "_pid").select(
+        *cols,
+        (F.col("_off") + F.col("_lrk")).cast("long").alias(out_col),
+    )
+    return df.join(ranked, cols)
+
+
+def _token_positions(df: DataFrame, text_col: str, id_col: str):
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("d"), toks.alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    lens = base.select(
+        "d", F.size("_toks").cast("long").alias("len")
+    )
+    pos = base.select(
+        "d", F.posexplode("_toks").alias("i", "t")
+    ).select("d", F.col("i").cast("long").alias("i"), "t")
+    return pos, lens
+
+
+def suffix_ranks(
+    df: DataFrame,
+    rounds: int | str = "auto",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, list[DataFrame], DataFrame]:
+    """Prefix-doubling construction → ``(final, per_round, lens)``:
+    ``final`` is ``(d, i, r)`` where equal ``r`` ⟺ identical suffixes
+    and the ascending ``(r, d, i)`` order is the generalized suffix
+    array; ``per_round[k]`` is the rank table after comparing blocks of
+    ``2^k`` tokens (needed for LCP lifting); ``lens`` is ``(d, len)``.
+
+    ``rounds="auto"`` (default) sizes the doubling depth from the
+    longest document — the max-length scalar is collected anyway.  An
+    explicit int raises if any document has ≥ ``2^rounds`` tokens —
+    ranks would then compare a truncated prefix and silently conflate
+    distinct suffixes."""
+    pos, lens = _token_positions(df, text_col, id_col)
+    max_len = lens.agg(F.max("len")).collect()[0][0] or 0
+    if rounds == "auto":
+        rounds = max(1, int(max_len).bit_length())
+    if max_len >= (1 << rounds):
+        raise ValueError(
+            f"document with {max_len} tokens needs more than "
+            f"rounds={rounds} doubling rounds (limit {(1 << rounds) - 1})"
+        )
+    state = (
+        _global_dense_ranks(pos, ["t"], "r")
+        .select("d", "i", "r")
+        .localCheckpoint(eager=True)
+    )
+    per_round = [state]  # per_round[k]: ranks of 2^k-token blocks
+    for k in range(rounds):
+        b = 1 << k
+        shifted = state.select(
+            "d",
+            (F.col("i") - F.lit(b)).alias("i"),
+            F.col("r").alias("_r2"),
+        )
+        paired = (
+            state.join(shifted, ["d", "i"], "left")
+            .withColumn("_r2", F.coalesce("_r2", F.lit(-1)))
+        )
+        state = (
+            _global_dense_ranks(
+                paired.withColumnRenamed("r", "_r1"), ["_r1", "_r2"], "r"
+            )
+            .select("d", "i", "r")
+            .localCheckpoint(eager=True)
+        )
+        per_round.append(state)
+    return state, per_round, lens
+
+
+def repeated_span_histogram(
+    df: DataFrame,
+    rounds: int | str = "auto",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ ``(lcp long, n_pairs long)``: for every pair of suffixes
+    ADJACENT in generalized-suffix-array order, the length of their
+    longest common token prefix — the repeated-span spectrum.
+    ``max(lcp)`` is the longest token sequence occurring ≥2 times in
+    the corpus (within or across documents); heavy mass at high lcp
+    is the ExactSubstr dedup signal.
+
+    LCP by binary lifting: walk ``k = rounds-1 .. 0`` and extend by
+    ``2^k`` whenever both suffixes still have a COMPLETE ``2^k`` block
+    (``off + 2^k <= len``) and the blocks' round-k ranks agree — one
+    bounded pair of left joins per k, never a token loop."""
+    final, per_round, lens = suffix_ranks(
+        df, rounds=rounds, text_col=text_col, id_col=id_col
+    )
+    sa = _global_dense_ranks(final, ["r", "d", "i"], "sa").select(
+        "d", "i", "sa"
+    )
+    nxt = sa.select(
+        (F.col("sa") - 1).alias("sa"),
+        F.col("d").alias("qd"),
+        F.col("i").alias("qi"),
+    )
+    pairs = (
+        sa.join(nxt, "sa")
+        .select(
+            F.col("d").alias("pd"),
+            F.col("i").alias("pi"),
+            "qd",
+            "qi",
+        )
+        .join(lens.select(F.col("d").alias("pd"), F.col("len").alias("plen")), "pd")
+        .join(lens.select(F.col("d").alias("qd"), F.col("len").alias("qlen")), "qd")
+        .withColumn("lcp", F.lit(0).cast("long"))
+        .withColumn("cp", F.col("pi"))
+        .withColumn("cq", F.col("qi"))
+    )
+    for k in range(len(per_round) - 2, -1, -1):
+        b = 1 << k
+        rk = per_round[k]
+        rp = rk.select(
+            F.col("d").alias("pd"),
+            F.col("i").alias("cp"),
+            F.col("r").alias("_rp"),
+        )
+        rq = rk.select(
+            F.col("d").alias("qd"),
+            F.col("i").alias("cq"),
+            F.col("r").alias("_rq"),
+        )
+        pairs = (
+            pairs.join(rp, ["pd", "cp"], "left")
+            .join(rq, ["qd", "cq"], "left")
+        )
+        ok = (
+            (F.col("cp") + b <= F.col("plen"))
+            & (F.col("cq") + b <= F.col("qlen"))
+            & F.col("_rp").isNotNull()
+            & F.col("_rq").isNotNull()
+            & (F.col("_rp") == F.col("_rq"))
+        )
+        # Materialize the step ONCE before touching cp/cq: `ok` reads
+        # cp, and chained withColumn would re-evaluate it against the
+        # already-advanced cp when updating cq (silent corruption).
+        pairs = (
+            pairs.withColumn("_step", F.when(ok, F.lit(b)).otherwise(F.lit(0)))
+            .select(
+                "pd",
+                "pi",
+                "qd",
+                "qi",
+                "plen",
+                "qlen",
+                (F.col("lcp") + F.col("_step")).alias("lcp"),
+                (F.col("cp") + F.col("_step")).alias("cp"),
+                (F.col("cq") + F.col("_step")).alias("cq"),
+            )
+        )
+    return (
+        pairs.groupBy("lcp")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(F.col("lcp"), F.col("n_pairs"))
+    )

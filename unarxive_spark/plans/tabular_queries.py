@@ -1930,6 +1930,108 @@ GROUP BY 1"""
 SQL_OUTLIER_TRIM = _sql_outlier_trim()
 
 
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition model over per-user event
+    sequences (the user-journey analog of the funnel): consecutive
+    event pairs via one lead() window in each user's (ts, event_id)
+    order, then a tiny |states|²-row count + row-conditional
+    probability. At scale the window partitions on the high-cardinality
+    user key (no skew) and the aggregate is map-side combinable."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.select(
+            F.col("event_type").alias("from_state"),
+            F.lead("event_type").over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w_from = Window.partitionBy("from_state")
+    return t.select(
+        "from_state",
+        "to_state",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(w_from),
+            6,
+        ).alias("prob"),
+    )
+
+
+SQL_MARKOV_TRANSITIONS = """
+WITH t AS (
+  SELECT event_type AS from_state,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_state
+  FROM events
+),
+c AS (
+  SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM t WHERE to_state IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_state, to_state, n_transitions,
+       round(CAST(n_transitions AS DOUBLE) /
+             CAST(sum(n_transitions) OVER (PARTITION BY from_state)
+                  AS BIGINT), 6) AS prob
+FROM c"""
+
+
+def q_repeated_spans(spark, sf_dir):
+    """Suffix-array repeated-span spectrum over the documents corpus
+    (the ExactSubstr-dedup signal of Lee et al. 2021): distributed
+    prefix-doubling suffix ranks, adjacent-suffix LCPs by binary
+    lifting, histogram by span length. Reference analog: the fixed
+    128-char fingerprint screen (q29) can only sample one window size;
+    this measures EVERY repeated token span exactly."""
+    from unarxive_spark.operators.suffixarray import repeated_span_histogram
+
+    return repeated_span_histogram(_t(spark, sf_dir, "documents"))
+
+
+# LCP of adjacent suffixes in generalized-suffix-array order, replayed
+# exactly: suffixes as token sublists, sorted (DuckDB list ordering is
+# lexicographic with prefix-shorter-first — identical to prefix-doubling
+# ranks padded with -1 past doc end), LCP via first-mismatch position.
+# nullif(...): this DuckDB's list_position returns 0 (not NULL) when no
+# mismatch exists, i.e. one suffix is a full prefix of the other.
+# Ties (identical suffixes) need no order pin: any permutation of an
+# equal block yields the same adjacent-LCP multiset.
+SQL_REPEATED_SPANS = r"""
+WITH toks AS (
+  SELECT doc_id AS d,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     t -> t != '') AS ts
+  FROM documents
+), nz AS (
+  SELECT d, ts, len(ts) AS l FROM toks WHERE len(ts) > 0
+), suf AS (
+  SELECT d, CAST(i - 1 AS BIGINT) AS i, ts[i:] AS s,
+         CAST(l - i + 1 AS BIGINT) AS slen
+  FROM nz, LATERAL unnest(generate_series(1, l)) AS u(i)
+), ord AS (
+  SELECT s, slen, d, i,
+         lead(s)    OVER w AS s2,
+         lead(slen) OVER w AS slen2
+  FROM suf
+  WINDOW w AS (ORDER BY s, d, i)
+)
+SELECT CAST(coalesce(
+         nullif(list_position(
+           list_transform(generate_series(1, CAST(least(slen, slen2) AS INT)),
+                          j -> s[j] = s2[j]),
+           false), 0) - 1,
+         least(slen, slen2)) AS BIGINT) AS lcp,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM ord WHERE s2 IS NOT NULL
+GROUP BY 1"""
+
+
 def q_funnel(spark, sf_dir):
     """Ordered-sequence funnel (view → click → purchase): per user the
     earliest view, the earliest click strictly after it, the earliest
@@ -2626,6 +2728,8 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q100_unigram_lm": q_unigram_lm,
     "q102_mixture_sample": q_mixture_sample,
     "q103_snapshot_diff": q_snapshot_diff,
+    "q104_markov_transitions": q_markov_transitions,
+    "q105_repeated_spans": q_repeated_spans,
     "q77_vocab_topk": q_vocab_topk,
     "q78_containment_pairs": q_containment_pairs,
     "q80_funnel": q_funnel,
@@ -2686,6 +2790,8 @@ TABULAR_ORACLES: dict[str, str] = {
     "q100_unigram_lm": SQL_UNIGRAM_LM,
     "q102_mixture_sample": SQL_MIXTURE_SAMPLE,
     "q103_snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "q104_markov_transitions": SQL_MARKOV_TRANSITIONS,
+    "q105_repeated_spans": SQL_REPEATED_SPANS,
     "q77_vocab_topk": SQL_VOCAB_TOPK,
     "q78_containment_pairs": SQL_CONTAINMENT_PAIRS,
     "q80_funnel": SQL_FUNNEL,
