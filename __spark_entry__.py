@@ -80,7 +80,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #     just past the cap (boundary now falls after q81_cohorts) — both
 #     green in the r4 artifact and re-pinned every round by the parity
 #     suite, so no tail extension is needed (the rotation guard
-#     asserts only never-green rows must sit in-cap).
+#     asserts only never-green rows must sit in-cap). q106 (dup-span
+#     coverage), q107 (adamic-adar), q108 (kneser-ney) and q109
+#     (landmark closeness) then require one more tail row:
+#     q76_priority_sample (green r4; its deterministic bottom-k
+#     machinery is re-exercised in-cap by q88's weighted E-S variant).
 _DEFER_LAST = (
     "q01_transcripts",
     "q02_mine_refs",
@@ -136,6 +140,7 @@ _DEFER_LAST = (
     "q34_cosine_topk",
     "q35_match_cascade",
     "q52_random_walks",
+    "q76_priority_sample",
 )
 
 

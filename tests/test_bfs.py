@@ -74,3 +74,49 @@ def test_bfs_zipf_matches_oracle(edges_small):
         k: v for k, v in _oracle(rows, src, 2).items() if v > 0
     }
     assert kh == want
+
+
+def test_landmark_closeness_matches_oracle(edges_small):
+    """Multi-source flood == per-landmark single-source BFS over the
+    undirected graph; closeness = n_reached / total_dist."""
+    from unarxive_spark.operators.bfs import (
+        landmark_closeness,
+        landmark_distances,
+    )
+
+    rows = _rows(edges_small)
+    und = {}
+    for s, d, _ in rows:
+        if s != d:
+            und.setdefault(s, set()).add(d)
+            und.setdefault(d, set()).add(s)
+    urows = [(u, v, 1.0) for u, vs in und.items() for v in vs]
+
+    got = {
+        (r["landmark"], r["conv_id"]): r["distance"]
+        for r in landmark_distances(
+            edges_small, n_landmarks=4, max_hops=6
+        ).collect()
+    }
+    landmarks = {l for l, _ in got}
+    assert len(landmarks) == 4
+    want = {}
+    for l in landmarks:
+        for v, dd in _oracle(urows, [l], 6).items():
+            want[(l, v)] = dd
+    assert got == want
+
+    cl = {
+        r["conv_id"]: (r["n_reached"], r["total_dist"], r["closeness"])
+        for r in landmark_closeness(
+            edges_small, n_landmarks=4, max_hops=6
+        ).collect()
+    }
+    agg = {}
+    for (l, v), dd in want.items():
+        n, s = agg.get(v, (0, 0))
+        agg[v] = (n + 1, s + dd)
+    for v, (n, s) in agg.items():
+        assert cl[v][:2] == (n, s)
+        assert cl[v][2] == (round(n / s, 6) if s else 0.0)
+    assert set(cl) == set(agg)

@@ -143,3 +143,42 @@ def test_neighbor_jaccard_matches_oracle(hub_graph):
     for k in want:
         assert got[k][0] == want[k][0]
         assert abs(got[k][1] - want[k][1]) < 1e-12
+
+
+def test_adamic_adar_matches_oracle(hub_graph):
+    import math
+
+    from unarxive_spark.operators.cocitation import adamic_adar
+
+    df, rows = hub_graph
+    adj = {}
+    for s, d, _ in rows:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    cap = 10
+    filt = {
+        v: {u for u in ns if len(adj[u]) <= cap} for v, ns in adj.items()
+    }
+    want = {}
+    verts = sorted(filt)
+    for i, a in enumerate(verts):
+        for b in verts[i + 1 :]:
+            shared = {
+                u for u in filt[a] & filt[b] if len(adj[u]) >= 2
+            }
+            if not shared:
+                continue
+            aa_e9 = sum(
+                int(round(1e9 / math.log(len(adj[u])))) for u in shared
+            )
+            want[(a, b)] = (len(filt[a] & filt[b]), aa_e9)
+    got = {
+        (r["a"], r["b"]): (r["n_shared"], r["aa_e9"], r["aa"])
+        for r in adamic_adar(df, min_shared=1, max_degree=cap).collect()
+    }
+    # rows only exist where a weighted (deg>=2) shared neighbor exists
+    assert got.keys() == want.keys()
+    for k, (n, e9) in want.items():
+        assert got[k][1] == e9, k  # exact integer sum, no float drift
+        assert got[k][2] == round(e9 / 1e9, 6)

@@ -200,6 +200,83 @@ def test_bigram_pmi_matches_python_replay(spark):
     assert got[("new", "york")][3] > 0.5
 
 
+def test_kneser_ney_matches_python_replay(spark):
+    from unarxive_spark.operators.corpus import kneser_ney_bigram
+
+    rows = [
+        (1, "new york new york city"),
+        (2, "new york is a city"),
+        (3, "a brand new day in york"),
+        (4, "new york new day"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        (r["w1"], r["w2"]): (
+            r["c12"],
+            r["c1"],
+            r["n_follow"],
+            r["n_prec"],
+            r["pkn"],
+        )
+        for r in kneser_ney_bigram(df, min_count=2).collect()
+    }
+    toks = [t.split() for _, t in rows]
+    bis = [(ts[i], ts[i + 1]) for ts in toks for i in range(len(ts) - 1)]
+    types = set(bis)
+    D, n_types = 0.75, len(types)
+    want = {}
+    for w1, w2 in types:
+        c12 = bis.count((w1, w2))
+        if c12 < 2:
+            continue
+        c1 = sum(1 for a, _ in bis if a == w1)
+        n_follow = len({b for a, b in types if a == w1})
+        n_prec = len({a for a, b in types if b == w2})
+        pkn = max(float(c12) - D, 0.0) / c1 + (D * n_follow / c1) * (
+            float(n_prec) / n_types
+        )
+        want[(w1, w2)] = (c12, c1, n_follow, n_prec, round(pkn, 6))
+    assert got == want
+    # per-context probabilities (with the interpolated mass over the
+    # full vocabulary) stay inside (0, 1]
+    assert all(0.0 < v[4] <= 1.0 for v in got.values())
+    assert ("new", "york") in got
+
+
+def test_kneser_ney_full_context_sums_to_one(spark):
+    """For a context w1, summing P_KN over ALL observed continuations
+    plus the backoff mass of unseen ones must equal 1 — the defining
+    property of a proper smoothed distribution. With min_count=1 every
+    observed bigram row is present, so sum over rows of
+    (c12-D)/c1 + backoff terms = 1 - D*n_follow/c1*(uncovered mass)."""
+    from unarxive_spark.operators.corpus import kneser_ney_bigram
+
+    rows = [(1, "a b a c a b a d b c")]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = kneser_ney_bigram(df, min_count=1).collect()
+    by_ctx = {}
+    for r in out:
+        by_ctx.setdefault(r["w1"], []).append(r)
+    toks = rows[0][1].split()
+    bis = [(toks[i], toks[i + 1]) for i in range(len(toks) - 1)]
+    types = set(bis)
+    n_types = len(types)
+    for w1, rws in by_ctx.items():
+        c1 = rws[0]["c1"]
+        n_follow = rws[0]["n_follow"]
+        seen_prec = sum(r["n_prec"] for r in rws)
+        # observed-row mass + the continuation mass of UNSEEN w2
+        unseen_prec = sum(
+            len({a for a, b in types if b == w2})
+            for w2 in {b for _, b in types}
+            if (w1, w2) not in types
+        )
+        total = sum(r["pkn"] for r in rws) + (
+            0.75 * n_follow / c1
+        ) * (unseen_prec / n_types)
+        assert abs(total - 1.0) < 1e-4, (w1, total)
+
+
 def test_corpus_plan_shapes(spark):
     """100-TB plan contracts: chunking adds no shuffle; decontaminate's
     benchmark side broadcasts; nothing in the family falls back to a

@@ -5,6 +5,7 @@ from collections import Counter
 import pytest
 
 from unarxive_spark.operators.suffixarray import (
+    duplicated_span_stats,
     repeated_span_histogram,
     suffix_ranks,
 )
@@ -70,6 +71,69 @@ def test_repeated_span_histogram_matches_replay(spark):
     assert got == want
     # the longest repeated token sequence is the 6-token exact dup
     assert max(got) == 6
+
+
+def _dup_stats(docs, min_len):
+    """Brute-force truth: a position (d, i) starts a dup span of the
+    longest l ≥ min_len such that toks[d][i:i+l] occurs elsewhere
+    (any doc, any position ≠ (d, i)); coverage = union of intervals."""
+    toks = _toks(docs)
+    spans = {}
+    for d, ts in toks.items():
+        for i in range(len(ts)):
+            best = 0
+            for d2, ts2 in toks.items():
+                for j in range(len(ts2)):
+                    if (d2, j) == (d, i):
+                        continue
+                    l = 0
+                    while (
+                        i + l < len(ts)
+                        and j + l < len(ts2)
+                        and ts[i + l] == ts2[j + l]
+                    ):
+                        l += 1
+                    best = max(best, l)
+            if best >= min_len:
+                spans.setdefault(d, []).append((i, i + best))
+    out = {}
+    for d, ts in toks.items():
+        ivs = sorted(spans.get(d, []))
+        cov, end = 0, 0
+        for a, b in ivs:
+            cov += max(0, b - max(end, a))
+            end = max(end, b)
+        out[d] = (len(ts), cov, round(cov / len(ts), 6))
+    return out
+
+
+def test_duplicated_span_stats_matches_bruteforce(spark):
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_frac"])
+        for r in duplicated_span_stats(df, min_len=3).collect()
+    }
+    assert got == _dup_stats(DOCS, 3)
+    # the exact-dup docs 1 and 3 are fully covered
+    assert got[1][2] == 1.0 and got[3][2] == 1.0
+    # the unique doc has zero coverage
+    assert got[5] == (4, 0, 0.0)
+
+
+def test_duplicated_span_stats_overlapping_intervals(spark):
+    """Overlapping dup spans must not double-count coverage."""
+    docs = [
+        (1, "a b c d e f"),
+        (2, "a b c d x y"),
+        (3, "c d e f x y"),
+    ]  # doc 1: spans [0,4) and [2,6) overlap -> union 6, not 8
+    df = spark.createDataFrame(docs, SCHEMA)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_frac"])
+        for r in duplicated_span_stats(df, min_len=3).collect()
+    }
+    assert got == _dup_stats(docs, 3)
+    assert got[1] == (6, 6, 1.0)
 
 
 def test_suffix_ranks_rejects_overlong_docs(spark):

@@ -116,6 +116,71 @@ def neighbor_jaccard(
     )
 
 
+def adamic_adar(
+    edges: DataFrame,
+    min_shared: int = 1,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003):
+    ``AA(a,b) = Σ_{u ∈ N(a)∩N(b)} 1/ln(deg(u))`` — common neighbors
+    weighted inversely by how promiscuous they are.
+
+    Portable-parity discipline: the per-neighbor weight is computed
+    ONCE per u as ``round(1e9 / ln(deg_u))`` and summed as an exact
+    BIGINT, so the pair score is independent of float summation order
+    (a naive double sum would be order-dependent across engines).
+    With the hub cap, ``deg_u ∈ [2, max_degree]`` — a tiny integer
+    domain on which JVM ``log`` and DuckDB ``ln`` agree (pinned by
+    tests/test_driver_parity.py's value hash on q107).
+
+    → ``(a, b, n_shared, aa_e9 long, aa double)``; shape is the same
+    shared-endpoint wedge join as ``neighbor_jaccard`` (hub cap on the
+    shared neighbor — a mega-hub fans out quadratically and its
+    1/ln(deg) weight is noise anyway).
+    """
+    from unarxive_spark.operators.components import undirected
+
+    nbr = undirected(edges).select("u", "v").distinct()
+    if max_degree is not None:
+        hub = nbr.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
+        nbr = nbr.join(
+            hub.filter(F.col("_d") <= max_degree), "u", "left_semi"
+        )
+    # a surviving u keeps ALL its rows, so this is its true degree
+    w = (
+        nbr.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .filter(F.col("_deg") >= 2)
+        .select(
+            "u",
+            F.round(F.lit(1e9) / F.log(F.col("_deg")))
+            .cast("long")
+            .alias("_w_e9"),
+        )
+    )
+    wn = nbr.join(w, "u")
+    pairs = (
+        wn.alias("l")
+        .join(
+            wn.alias("r"),
+            (F.col("l.u") == F.col("r.u")) & (F.col("l.v") < F.col("r.v")),
+        )
+        .groupBy(F.col("l.v").alias("a"), F.col("r.v").alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.sum(F.col("l._w_e9")).alias("aa_e9"),
+        )
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return pairs.select(
+        "a",
+        "b",
+        "n_shared",
+        F.col("aa_e9").cast("long").alias("aa_e9"),
+        F.round(F.col("aa_e9") / 1e9, 6).alias("aa"),
+    )
+
+
 def bibliographic_coupling(
     edges: DataFrame, min_count: int = 1, max_degree: int | None = None
 ) -> DataFrame:

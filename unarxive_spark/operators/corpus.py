@@ -39,6 +39,7 @@ __all__ = [
     "decontaminate",
     "bm25_scores",
     "bigram_pmi",
+    "kneser_ney_bigram",
     "tfidf_doc_pairs",
     "duplicate_spans",
     "bpe_merges",
@@ -355,6 +356,83 @@ def bigram_pmi(
             "c_a",
             "c_b",
             F.round(pmi, 6).alias("pmi"),
+        )
+    )
+
+
+def kneser_ney_bigram(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram language model (Kneser & Ney
+    1995) — the classic n-gram smoothing behind corpus-quality
+    perplexity filters (the bigram upgrade of q100's unigram LM):
+
+        P_KN(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+                      + (D·N1+(w1,·)/c(w1·)) · N1+(·,w2)/N1+(··)
+
+    where ``c(w1·)`` is the left-context total, ``N1+(w1,·)`` the
+    distinct continuation types after w1, ``N1+(·,w2)`` the distinct
+    left contexts of w2 (the continuation probability numerator), and
+    ``N1+(··)`` the number of distinct bigram types.
+
+    → ``(w1, w2, c12, c1, n_follow, n_prec, pkn)``, rows filtered to
+    ``c12 ≥ min_count`` AFTER all statistics are taken over the full
+    corpus.  All inputs to ``pkn`` are exact integers; the float
+    expression is written with the identical association in the DuckDB
+    oracle (D = 0.75 is binary-exact), so the rounded value matches
+    bit-for-bit.
+
+    Plan: bigrams are row-local (HOF over the token array); the model
+    is three map-side-combinable groupBy counts over the bigram-type
+    table + one 1-row scalar — no window, no cartesian on data."""
+    toks = tokens(F.lower(F.col(text_col)))
+    bi = (
+        df.select(toks.alias("_toks"))
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_toks") - 2),
+                    lambda i: F.struct(
+                        F.col("_toks")[i].alias("a"),
+                        F.col("_toks")[i + 1].alias("b"),
+                    ),
+                )
+            ).alias("_bg")
+        )
+        .select(F.col("_bg.a").alias("w1"), F.col("_bg.b").alias("w2"))
+    )
+    cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    left = cb.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count(F.lit(1)).alias("n_follow"),
+    )
+    prec = cb.groupBy("w2").agg(F.count(F.lit(1)).alias("n_prec"))
+    n_types = F.broadcast(
+        cb.agg(F.count(F.lit(1)).alias("n_types"))
+    )
+    d = float(discount)
+    pkn = (
+        F.greatest(F.col("c12").cast("double") - F.lit(d), F.lit(0.0))
+        / F.col("c1")
+        + (F.lit(d) * F.col("n_follow") / F.col("c1"))
+        * (F.col("n_prec").cast("double") / F.col("n_types"))
+    )
+    return (
+        cb.filter(F.col("c12") >= int(min_count))
+        .join(F.broadcast(left), "w1")
+        .join(F.broadcast(prec), "w2")
+        .crossJoin(n_types)
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.col("c1").cast("long").alias("c1"),
+            F.col("n_follow").cast("long").alias("n_follow"),
+            F.col("n_prec").cast("long").alias("n_prec"),
+            F.round(pkn, 6).alias("pkn"),
         )
     )
 

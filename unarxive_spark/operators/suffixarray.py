@@ -31,7 +31,11 @@ from pyspark.sql import functions as F
 
 from unarxive_spark.functions.texttools import tokens
 
-__all__ = ["suffix_ranks", "repeated_span_histogram"]
+__all__ = [
+    "suffix_ranks",
+    "repeated_span_histogram",
+    "duplicated_span_stats",
+]
 
 
 def _global_dense_ranks(
@@ -139,18 +143,16 @@ def suffix_ranks(
     return state, per_round, lens
 
 
-def repeated_span_histogram(
+def _adjacent_lcps(
     df: DataFrame,
-    rounds: int | str = "auto",
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """→ ``(lcp long, n_pairs long)``: for every pair of suffixes
-    ADJACENT in generalized-suffix-array order, the length of their
-    longest common token prefix — the repeated-span spectrum.
-    ``max(lcp)`` is the longest token sequence occurring ≥2 times in
-    the corpus (within or across documents); heavy mass at high lcp
-    is the ExactSubstr dedup signal.
+    rounds: int | str,
+    text_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """→ ``(pairs, lens)`` where ``pairs`` carries one row per pair of
+    suffixes ADJACENT in generalized-suffix-array order —
+    ``(pd, pi, qd, qi, plen, qlen, lcp)`` with ``lcp`` the length of
+    their longest common token prefix.
 
     LCP by binary lifting: walk ``k = rounds-1 .. 0`` and extend by
     ``2^k`` whenever both suffixes still have a COMPLETE ``2^k`` block
@@ -222,8 +224,91 @@ def repeated_span_histogram(
                 (F.col("cq") + F.col("_step")).alias("cq"),
             )
         )
+    return pairs.select("pd", "pi", "qd", "qi", "plen", "qlen", "lcp"), lens
+
+
+def repeated_span_histogram(
+    df: DataFrame,
+    rounds: int | str = "auto",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ ``(lcp long, n_pairs long)``: the adjacent-suffix LCP
+    spectrum.  ``max(lcp)`` is the longest token sequence occurring ≥2
+    times in the corpus (within or across documents); heavy mass at
+    high lcp is the ExactSubstr dedup signal."""
+    pairs, _ = _adjacent_lcps(df, rounds, text_col, id_col)
     return (
         pairs.groupBy("lcp")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .select(F.col("lcp"), F.col("n_pairs"))
+    )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    min_len: int = 5,
+    rounds: int | str = "auto",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr dedup accounting (Lee et al. 2021 §4.2): per
+    document, how many of its tokens sit inside a span of ≥
+    ``min_len`` tokens that occurs AGAIN somewhere in the corpus
+    (within or across documents) — the exact token mass the dedup pass
+    would cut.  → ``(doc_id, n_tokens, dup_tokens, dup_frac)``.
+
+    A suffix ``(d, i)`` starts a duplicated span of length
+    ``span = max(lcp with its SA-order neighbors)`` — any non-adjacent
+    suffix pair's LCP is the min of the adjacent LCPs between them, so
+    the two neighbors witness the longest repeat starting at ``i``.
+    Coverage is the per-document union of the intervals
+    ``[i, i+span)`` with ``span ≥ min_len``: one running-max window
+    per document (partitioned on the high-cardinality doc key — no
+    global sort) — the classic interval-union sum."""
+    pairs, lens = _adjacent_lcps(df, rounds, text_col, id_col)
+    ends = pairs.select(
+        F.col("pd").alias("d"), F.col("pi").alias("i"), "lcp"
+    ).unionByName(
+        pairs.select(F.col("qd").alias("d"), F.col("qi").alias("i"), "lcp")
+    )
+    spans = (
+        ends.groupBy("d", "i")
+        .agg(F.max("lcp").alias("span"))
+        .filter(F.col("span") >= min_len)
+    )
+    w_prev = (
+        Window.partitionBy("d")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered = (
+        spans.withColumn(
+            "_prev_end",
+            F.coalesce(
+                F.max(F.col("i") + F.col("span")).over(w_prev), F.lit(0)
+            ),
+        )
+        .withColumn(
+            "_inc",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.col("i")
+                + F.col("span")
+                - F.greatest(F.col("_prev_end"), F.col("i")),
+            ),
+        )
+        .groupBy("d")
+        .agg(F.sum("_inc").alias("dup_tokens"))
+    )
+    return (
+        lens.join(covered, "d", "left")
+        .select(
+            F.col("d").alias("doc_id"),
+            F.col("len").alias("n_tokens"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) / F.col("len"), 6
+            ).alias("dup_frac"),
+        )
     )

@@ -23,7 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from unarxive_spark.functions.hashing import h64
+from unarxive_spark.functions.hashing import h64, h64_sql
 from unarxive_spark.functions.refs import extract_ref_ids
 from unarxive_spark.operators import degrees as deg
 from unarxive_spark.operators.edges import build_edges
@@ -1105,6 +1105,88 @@ SELECT a, b, n_shared,
 FROM shared
 JOIN ndeg da ON da.v = a
 JOIN ndeg db ON db.v = b"""
+
+
+AA_MAX_DEGREE = 100
+AA_MIN_SHARED = 5
+
+
+def q_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction — common neighbors weighted by
+    1/ln(deg), the classic citation-recommendation scorer next to
+    q50's Jaccard. Integer-weight discipline: per-neighbor weight
+    round(1e9/ln(deg)) summed as BIGINT, so the score is bit-identical
+    across engines regardless of float summation order."""
+    from unarxive_spark.operators.cocitation import adamic_adar
+
+    return adamic_adar(
+        _edges(spark, sf_dir),
+        min_shared=AA_MIN_SHARED,
+        max_degree=AA_MAX_DEGREE,
+    )
+
+
+SQL_ADAMIC_ADAR = f"""{GRAPH_PREFIX},
+und AS (SELECT src_conv_id AS u, dst_conv_id AS v FROM edges
+        UNION SELECT dst_conv_id, src_conv_id FROM edges),
+nbr0 AS (SELECT DISTINCT u, v FROM und WHERE u != v),
+nbr AS (SELECT * FROM nbr0 WHERE u IN (
+          SELECT u FROM nbr0 GROUP BY 1
+          HAVING count(*) <= {AA_MAX_DEGREE})),
+w AS (SELECT u, CAST(round(1e9 / ln(count(*))) AS BIGINT) AS w_e9
+      FROM nbr GROUP BY 1 HAVING count(*) >= 2),
+wn AS (SELECT nbr.u, nbr.v, w.w_e9 FROM nbr JOIN w ON nbr.u = w.u),
+pairs AS (
+  SELECT l.v AS a, r.v AS b,
+         CAST(count(*) AS BIGINT) AS n_shared,
+         CAST(sum(l.w_e9) AS BIGINT) AS aa_e9
+  FROM wn l JOIN wn r ON l.u = r.u AND l.v < r.v
+  GROUP BY 1, 2 HAVING count(*) >= {AA_MIN_SHARED}
+)
+SELECT a, b, n_shared, aa_e9, round(aa_e9 / 1e9, 6) AS aa FROM pairs"""
+
+
+LC_LANDMARKS = 8
+LC_MAX_HOPS = 10
+
+
+def q_landmark_closeness(spark, sf_dir):
+    """Landmark-based closeness (Eppstein & Wang 2004): exact
+    multi-source BFS from the 8 min-h64 vertices, per-vertex integer
+    distance sums. The exact-integer complement to q65's ANF-sketch
+    harmonic centrality. Oracle: min-distance recursive CTE over the
+    undirected graph, landmark column threaded through."""
+    from unarxive_spark.operators.bfs import landmark_closeness
+
+    return landmark_closeness(
+        _edges(spark, sf_dir),
+        n_landmarks=LC_LANDMARKS,
+        max_hops=LC_MAX_HOPS,
+    )
+
+
+SQL_LANDMARK_CLOSENESS = f"""{GRAPH_PREFIX},
+lund AS (SELECT src_conv_id AS u, dst_conv_id AS v FROM edges
+         UNION SELECT dst_conv_id, src_conv_id FROM edges),
+lnbr AS (SELECT DISTINCT u, v FROM lund WHERE u != v),
+lms AS (SELECT u AS landmark FROM (SELECT DISTINCT u FROM lnbr)
+        ORDER BY {h64_sql('u')}, u LIMIT {LC_LANDMARKS}),
+lreach AS (
+  WITH RECURSIVE r(landmark, conv_id, d) AS (
+    SELECT landmark, landmark, 0 FROM lms
+    UNION
+    SELECT r.landmark, e.v, r.d + 1
+    FROM r JOIN lnbr e ON e.u = r.conv_id
+    WHERE r.d < {LC_MAX_HOPS}
+  ) SELECT landmark, conv_id, min(d) AS d FROM r GROUP BY 1, 2
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(sum(d) AS BIGINT) AS total_dist,
+       CASE WHEN sum(d) = 0 THEN 0e0
+            ELSE round(CAST(count(*) AS DOUBLE) / sum(d), 6) END
+         AS closeness
+FROM lreach GROUP BY 1"""
 
 
 HITS_ITERS = 3
@@ -2298,6 +2380,8 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_harmonic": q_harmonic,
     "q69_betweenness": q_betweenness,
     "q101_temporal_reach": q_temporal_reach,
+    "q107_adamic_adar": q_adamic_adar,
+    "q109_landmark_closeness": q_landmark_closeness,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
@@ -2347,4 +2431,6 @@ GRAPH_ORACLES: dict[str, str] = {
     "q65_harmonic": SQL_HARMONIC,
     "q69_betweenness": SQL_BETWEENNESS,
     "q101_temporal_reach": SQL_TEMPORAL_REACH,
+    "q107_adamic_adar": SQL_ADAMIC_ADAR,
+    "q109_landmark_closeness": SQL_LANDMARK_CLOSENESS,
 }

@@ -2032,6 +2032,134 @@ FROM ord WHERE s2 IS NOT NULL
 GROUP BY 1"""
 
 
+DUP_SPAN_MIN_LEN = 5
+
+
+def q_dup_span_stats(spark, sf_dir):
+    """ExactSubstr dedup accounting: per document, the token mass
+    sitting inside a ≥5-token span that occurs again anywhere in the
+    corpus — exactly what a suffix-array dedup pass (Lee et al. 2021)
+    would cut. Suffix spans from the q105 machinery; coverage is a
+    per-document interval-union window (partitioned on the
+    high-cardinality doc key)."""
+    from unarxive_spark.operators.suffixarray import duplicated_span_stats
+
+    return duplicated_span_stats(
+        _t(spark, sf_dir, "documents"), min_len=DUP_SPAN_MIN_LEN
+    )
+
+
+# Same suffix-sort + first-mismatch LCP replay as SQL_REPEATED_SPANS,
+# extended to both pair endpoints: span(d,i) = max LCP with the two
+# SA-order neighbors (= longest repeat starting at i), then per-doc
+# union of [i, i+span) intervals via a running-max window.
+SQL_DUP_SPAN_STATS = rf"""
+WITH toks AS (
+  SELECT doc_id AS d,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     t -> t != '') AS ts
+  FROM documents
+), nz AS (
+  SELECT d, ts, len(ts) AS l FROM toks WHERE len(ts) > 0
+), suf AS (
+  SELECT d, CAST(i - 1 AS BIGINT) AS i, ts[i:] AS s,
+         CAST(l - i + 1 AS BIGINT) AS slen
+  FROM nz, LATERAL unnest(generate_series(1, l)) AS u(i)
+), ord AS (
+  SELECT d, i, s, slen,
+         lead(d)    OVER w AS qd,
+         lead(i)    OVER w AS qi,
+         lead(s)    OVER w AS s2,
+         lead(slen) OVER w AS slen2
+  FROM suf
+  WINDOW w AS (ORDER BY s, d, i)
+), pairs AS (
+  SELECT d AS pd, i AS pi, qd, qi,
+         CAST(coalesce(
+           nullif(list_position(
+             list_transform(
+               generate_series(1, CAST(least(slen, slen2) AS INT)),
+               j -> s[j] = s2[j]),
+             false), 0) - 1,
+           least(slen, slen2)) AS BIGINT) AS lcp
+  FROM ord WHERE qd IS NOT NULL
+), ends AS (
+  SELECT pd AS d, pi AS i, lcp FROM pairs
+  UNION ALL
+  SELECT qd AS d, qi AS i, lcp FROM pairs
+), spans AS (
+  SELECT d, i, max(lcp) AS span
+  FROM ends GROUP BY 1, 2
+  HAVING max(lcp) >= {DUP_SPAN_MIN_LEN}
+), cov AS (
+  SELECT d, sum(greatest(0, i + span - greatest(prev_end, i))) AS dup
+  FROM (
+    SELECT d, i, span,
+           coalesce(max(i + span) OVER (
+             PARTITION BY d ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS prev_end
+    FROM spans)
+  GROUP BY 1
+)
+SELECT nz.d AS doc_id,
+       CAST(nz.l AS BIGINT) AS n_tokens,
+       CAST(coalesce(cov.dup, 0) AS BIGINT) AS dup_tokens,
+       round(CAST(coalesce(cov.dup, 0) AS DOUBLE) / nz.l, 6) AS dup_frac
+FROM nz LEFT JOIN cov ON nz.d = cov.d"""
+
+
+KN_MIN_COUNT = 2
+
+
+def q_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM over the documents corpus
+    (operators/corpus.py) — all model statistics are exact integers;
+    the smoothed probability is one fixed float expression written
+    with identical association in both engines (D = 0.75 is
+    binary-exact), rounded to 6."""
+    from unarxive_spark.operators.corpus import kneser_ney_bigram
+
+    return kneser_ney_bigram(
+        _t(spark, sf_dir, "documents"), min_count=KN_MIN_COUNT
+    )
+
+
+def _sql_kneser_ney() -> str:
+    tok = (
+        "list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+        "t -> t != '')"
+    )
+    return f"""
+WITH d AS (SELECT {tok} AS toks FROM documents),
+bi AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM d
+),
+cb AS (
+  SELECT split_part(bg, ' ', 1) AS w1,
+         split_part(bg, ' ', 2) AS w2,
+         CAST(count(*) AS BIGINT) AS c12
+  FROM bi GROUP BY 1, 2
+),
+lft AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS n_follow
+        FROM cb GROUP BY 1),
+prc AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_prec
+        FROM cb GROUP BY 1),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM cb)
+SELECT w1, w2, c12, c1, n_follow, n_prec,
+       round(greatest(CAST(c12 AS DOUBLE) - 0.75e0, 0e0) / c1
+             + (0.75e0 * n_follow / c1)
+               * (CAST(n_prec AS DOUBLE) / n_types), 6) AS pkn
+FROM cb JOIN lft USING (w1) JOIN prc USING (w2), nt
+WHERE c12 >= {KN_MIN_COUNT}"""
+
+
+SQL_KNESER_NEY = _sql_kneser_ney()
+
+
 def q_funnel(spark, sf_dir):
     """Ordered-sequence funnel (view → click → purchase): per user the
     earliest view, the earliest click strictly after it, the earliest
@@ -2730,6 +2858,8 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q103_snapshot_diff": q_snapshot_diff,
     "q104_markov_transitions": q_markov_transitions,
     "q105_repeated_spans": q_repeated_spans,
+    "q106_dup_span_stats": q_dup_span_stats,
+    "q108_kneser_ney": q_kneser_ney,
     "q77_vocab_topk": q_vocab_topk,
     "q78_containment_pairs": q_containment_pairs,
     "q80_funnel": q_funnel,
@@ -2792,6 +2922,8 @@ TABULAR_ORACLES: dict[str, str] = {
     "q103_snapshot_diff": SQL_SNAPSHOT_DIFF,
     "q104_markov_transitions": SQL_MARKOV_TRANSITIONS,
     "q105_repeated_spans": SQL_REPEATED_SPANS,
+    "q106_dup_span_stats": SQL_DUP_SPAN_STATS,
+    "q108_kneser_ney": SQL_KNESER_NEY,
     "q77_vocab_topk": SQL_VOCAB_TOPK,
     "q78_containment_pairs": SQL_CONTAINMENT_PAIRS,
     "q80_funnel": SQL_FUNNEL,
