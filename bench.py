@@ -211,6 +211,47 @@ def extended_queries(spark) -> dict[str, float]:
         ("duplicate_spans", q_duplicate_spans),
     ):
         _, times[name] = _timed(lambda q=q: q(spark, SF_DIR).count())
+    # round-5 continuation — fresh session again (nn-descent, bpe,
+    # temporal reach and landmark closeness are superstep loops that
+    # leave localCheckpoint state cached; same rationale as above)
+    stop_spark()
+    spark = get_spark(
+        master=f"local[{CPUS}]",
+        app_name="bench-ext5b",
+        shuffle_partitions=CPUS,
+    )
+    from unarxive_spark.plans.driver_queries import (
+        q_adamic_adar,
+        q_landmark_closeness,
+        q_temporal_reach,
+    )
+    from unarxive_spark.plans.tabular_queries import (
+        q_bpe_merges,
+        q_dup_span_stats,
+        q_kneser_ney,
+        q_markov_transitions,
+        q_mixture_sample,
+        q_nn_descent,
+        q_repeated_spans,
+        q_snapshot_diff,
+        q_unigram_lm,
+    )
+
+    for name, q in (
+        ("nn_descent", q_nn_descent),
+        ("bpe_merges", q_bpe_merges),
+        ("unigram_lm", q_unigram_lm),
+        ("temporal_reach", q_temporal_reach),
+        ("mixture_sample", q_mixture_sample),
+        ("snapshot_diff", q_snapshot_diff),
+        ("markov_transitions", q_markov_transitions),
+        ("repeated_spans", q_repeated_spans),
+        ("dup_span_stats", q_dup_span_stats),
+        ("kneser_ney", q_kneser_ney),
+        ("adamic_adar", q_adamic_adar),
+        ("landmark_closeness", q_landmark_closeness),
+    ):
+        _, times[name] = _timed(lambda q=q: q(spark, SF_DIR).count())
     return times
 
 
