@@ -85,6 +85,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #     (landmark closeness) then require one more tail row:
 #     q76_priority_sample (green r4; its deterministic bottom-k
 #     machinery is re-exercised in-cap by q88's weighted E-S variant).
+#     q110 (sorted-neighborhood) requires one more: q70_qdigest_state
+#     (green r4; the q-digest machinery is pinned bit-for-bit every
+#     round by tests/test_qdigest.py and the q71/q82/q83 oracles).
 _DEFER_LAST = (
     "q01_transcripts",
     "q02_mine_refs",
@@ -141,6 +144,7 @@ _DEFER_LAST = (
     "q35_match_cascade",
     "q52_random_walks",
     "q76_priority_sample",
+    "q70_qdigest_state",
 )
 
 

@@ -214,3 +214,39 @@ def test_containment_catches_embedded_subset(spark):
         for r in ngram_jaccard_pairs(df, threshold=0.9).collect()
     }
     assert (1, 2) not in jac
+
+
+def test_sorted_neighborhood_matches_python_replay(docs_with_dups):
+    from unarxive_spark.operators.dedup import sorted_neighborhood_pairs
+
+    df = docs_with_dups
+    rows = [(r["doc_id"], r["text"]) for r in df.select("doc_id", "text").collect()]
+    W, K, TAU = 5, 4, 0.5
+    recs = []
+    for did, text in rows:
+        ts = [t for t in text.lower().split() if t]
+        if not ts:
+            continue
+        recs.append((" ".join(ts[:K]), did, set(ts)))
+    recs.sort(key=lambda x: (x[0], x[1]))
+    want = {}
+    for i, (_, a, sa) in enumerate(recs):
+        for off in range(1, W):
+            if i + off >= len(recs):
+                break
+            _, b, sb = recs[i + off]
+            inter = len(sa & sb)
+            jac = inter / (len(sa) + len(sb) - inter)
+            if jac >= TAU:
+                want[(a, b)] = (off, inter, round(jac, 6))
+    got = {
+        (r["a"], r["b"]): (r["rank_dist"], r["n_common"], r["jac"])
+        for r in sorted_neighborhood_pairs(
+            df, window=W, key_tokens=K, threshold=TAU
+        ).collect()
+    }
+    assert got == want
+    # the injected exact duplicates share their blocking key, sort
+    # adjacently, and must be caught at jac == 1
+    full = [k for k, v in got.items() if v[2] == 1.0]
+    assert len(full) >= 1

@@ -635,3 +635,94 @@ def containment_pairs(
             c_ba.alias("cont_b_in_a"),
         )
     )
+
+
+# ---------- sorted-neighborhood ----------
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    window: int = 5,
+    key_tokens: int = 4,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sorted-neighborhood method (Hernández & Stolfo 1995): sort by a
+    blocking key (the first ``key_tokens`` tokens), slide a ``window``
+    of consecutive records, verify candidate pairs by exact token-set
+    Jaccard → ``(a, b, rank_dist, n_common, jac)``.
+
+    The classic complement to hash blocking (LSH bands, simhash
+    blocks): hash blocking needs key EQUALITY, the sorted window also
+    catches records whose keys are merely CLOSE in sort order.  Recall
+    is bounded by the window by design — >``window`` records sharing a
+    key region can miss pairs (run multiple passes with different keys
+    for the standard multi-pass variant).
+
+    Scale shape: the global sort rank is de-skewed exactly like the
+    suffix-array construction (range-repartition + per-partition
+    row_number + broadcast partition offsets, no single-task window);
+    candidate generation is an EQUI-join on ``rank + offset`` with
+    ``offset ∈ [1, window-1]`` exploded row-locally — never an
+    inequality/range join, never all-pairs.  Verification carries the
+    two distinct-token arrays through one join each and intersects
+    row-locally."""
+    from unarxive_spark.operators.suffixarray import _global_dense_ranks
+
+    toks = tokens(F.lower(F.col(text_col)))
+    base = (
+        df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+        .filter(F.size("_toks") > 0)
+        .select(
+            "id",
+            F.array_join(
+                F.slice("_toks", 1, int(key_tokens)), " "
+            ).alias("_key"),
+            F.array_sort(F.array_distinct("_toks")).alias("_set"),
+        )
+        .withColumn("_nd", F.size("_set").cast("long"))
+    )
+    ranked = _global_dense_ranks(
+        base.select("id", "_key"), ["_key", "id"], "_r"
+    ).select("id", "_r")
+    r = base.join(ranked, "id")
+    offs = r.select(
+        "id",
+        "_set",
+        "_nd",
+        "_r",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(window) - 1))
+        ).alias("_off"),
+    ).select(
+        F.col("id").alias("a"),
+        F.col("_set").alias("_sa"),
+        F.col("_nd").alias("_na"),
+        (F.col("_r") + F.col("_off")).alias("_r2"),
+        F.col("_off").alias("rank_dist"),
+    )
+    right = r.select(
+        F.col("id").alias("b"),
+        F.col("_set").alias("_sb"),
+        F.col("_nd").alias("_nb"),
+        F.col("_r").alias("_r2"),
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("long")
+    return (
+        offs.join(right, "_r2")
+        .withColumn("n_common", inter)
+        .withColumn(
+            "jac",
+            F.col("n_common")
+            / (F.col("_na") + F.col("_nb") - F.col("n_common")),
+        )
+        .filter(F.col("jac") >= F.lit(float(threshold)))
+        .select(
+            "a",
+            "b",
+            F.col("rank_dist").cast("long").alias("rank_dist"),
+            "n_common",
+            F.round("jac", 6).alias("jac"),
+        )
+    )

@@ -2160,6 +2160,63 @@ WHERE c12 >= {KN_MIN_COUNT}"""
 SQL_KNESER_NEY = _sql_kneser_ney()
 
 
+SNM_WINDOW = 5
+SNM_KEY_TOKENS = 4
+SNM_THRESHOLD = 0.8
+
+
+def q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood dedup (Hernández-Stolfo): global sort by
+    the first-4-token blocking key (de-skewed rank, same machinery as
+    the suffix array), candidates = EQUI-join on rank+offset within a
+    5-record window, exact token-set Jaccard verify. Catches near-dups
+    whose keys are close-but-not-equal — the complement of the hash
+    blocking in q31/q32/q33."""
+    from unarxive_spark.operators.dedup import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        _t(spark, sf_dir, "documents"),
+        window=SNM_WINDOW,
+        key_tokens=SNM_KEY_TOKENS,
+        threshold=SNM_THRESHOLD,
+    )
+
+
+def _sql_sorted_neighborhood() -> str:
+    tok = (
+        "list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+        "t -> t != '')"
+    )
+    return f"""
+WITH base AS (
+  SELECT id,
+         array_to_string(list_slice(ts, 1, {SNM_KEY_TOKENS}), ' ') AS k,
+         list_sort(list_distinct(ts)) AS s,
+         CAST(len(list_distinct(ts)) AS BIGINT) AS nd
+  FROM (SELECT doc_id AS id, {tok} AS ts FROM documents)
+  WHERE len(ts) > 0
+),
+rnk AS (SELECT id, s, nd,
+               CAST(row_number() OVER (ORDER BY k, id) AS BIGINT) AS r
+        FROM base),
+scored AS (
+  SELECT l.id AS a, rr.id AS b, rr.r - l.r AS rank_dist,
+         CAST(len(list_filter(l.s, t -> list_contains(rr.s, t)))
+              AS BIGINT) AS n_common,
+         l.nd AS na, rr.nd AS nb
+  FROM rnk l JOIN rnk rr
+    ON rr.r > l.r AND rr.r <= l.r + {SNM_WINDOW - 1}
+)
+SELECT a, b, rank_dist, n_common,
+       round(CAST(n_common AS DOUBLE) / (na + nb - n_common), 6) AS jac
+FROM scored
+WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common)
+      >= {SNM_THRESHOLD}e0"""
+
+
+SQL_SORTED_NEIGHBORHOOD = _sql_sorted_neighborhood()
+
+
 def q_funnel(spark, sf_dir):
     """Ordered-sequence funnel (view → click → purchase): per user the
     earliest view, the earliest click strictly after it, the earliest
@@ -2860,6 +2917,7 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q105_repeated_spans": q_repeated_spans,
     "q106_dup_span_stats": q_dup_span_stats,
     "q108_kneser_ney": q_kneser_ney,
+    "q110_sorted_neighborhood": q_sorted_neighborhood,
     "q77_vocab_topk": q_vocab_topk,
     "q78_containment_pairs": q_containment_pairs,
     "q80_funnel": q_funnel,
@@ -2924,6 +2982,7 @@ TABULAR_ORACLES: dict[str, str] = {
     "q105_repeated_spans": SQL_REPEATED_SPANS,
     "q106_dup_span_stats": SQL_DUP_SPAN_STATS,
     "q108_kneser_ney": SQL_KNESER_NEY,
+    "q110_sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
     "q77_vocab_topk": SQL_VOCAB_TOPK,
     "q78_containment_pairs": SQL_CONTAINMENT_PAIRS,
     "q80_funnel": SQL_FUNNEL,
