@@ -193,3 +193,44 @@ def test_weighted_rank_windows_are_shard_keyed(spark):
     per_edge = [ln for ln in win_lines if "_w#" in ln or "_w " in ln]
     assert per_edge
     assert all("_sh" in ln for ln in per_edge), per_edge[:2]
+
+
+def test_round5_continuation_plans_have_no_quadratic_joins(spark):
+    """q104-q110 additions keep the candidate-by-key-equality
+    discipline: suffix-array construction/LCP lifting, dup-span
+    coverage, Adamic-Adar wedges, Kneser-Ney counts, landmark BFS
+    expansion, and sorted-neighborhood candidates are all hash
+    equi-joins — no BroadcastNestedLoopJoin, no CartesianProduct
+    (the 1-row scalar crossJoin in Kneser-Ney is a broadcast
+    aggregate, same accepted pattern as HITS/modularity)."""
+    from unarxive_spark.operators.bfs import landmark_closeness
+    from unarxive_spark.operators.cocitation import adamic_adar
+    from unarxive_spark.operators.corpus import kneser_ney_bigram
+    from unarxive_spark.operators.dedup import sorted_neighborhood_pairs
+    from unarxive_spark.operators.suffixarray import (
+        duplicated_span_stats,
+        repeated_span_histogram,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    edges = build_edges(transcripts_from_events(spark, SF))
+
+    for df in (
+        repeated_span_histogram(docs),
+        duplicated_span_stats(docs, min_len=3),
+        adamic_adar(edges, max_degree=50),
+        sorted_neighborhood_pairs(docs, window=4),
+        landmark_closeness(edges, n_landmarks=2, max_hops=2),
+    ):
+        plan = _plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+
+    kn = kneser_ney_bigram(docs)
+    plan = _plan(kn)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # the only nested-loop is the broadcast 1-row n_types scalar
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
