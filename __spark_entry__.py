@@ -88,6 +88,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     q110 (sorted-neighborhood) requires one more: q70_qdigest_state
 #     (green r4; the q-digest machinery is pinned bit-for-bit every
 #     round by tests/test_qdigest.py and the q71/q82/q83 oracles).
+#     q111 (daily concurrency) and q112 (state history) displace
+#     q57_repetition and q58_pii_scrub into the trailing green block
+#     (both green r4; q57's explode→agg shape re-pinned by the quality
+#     pytests + parity suite, q58's regex surface by the texttools
+#     row-parity tests — neither shares machinery that is otherwise
+#     uncovered in-cap).
 _DEFER_LAST = (
     "q01_transcripts",
     "q02_mine_refs",

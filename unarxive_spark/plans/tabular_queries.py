@@ -2217,6 +2217,114 @@ WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common)
 SQL_SORTED_NEIGHBORHOOD = _sql_sorted_neighborhood()
 
 
+CONC_GAP_S = 1800
+
+
+def q_daily_concurrency(spark, sf_dir):
+    """Peak concurrent sessions per day (operators/intervals.py):
+    30-min-gap session intervals → half-open sweep-line breakpoints →
+    de-skewed global running sum (hour-shard prefix sum + broadcast
+    hour offsets, never a single-partition data-sized window) → per-day
+    max + earliest attaining breakpoint. Exact integer microseconds
+    end to end."""
+    from unarxive_spark.operators.intervals import (
+        daily_max_concurrency,
+        interval_concurrency,
+        session_intervals,
+    )
+
+    iv = session_intervals(_t(spark, sf_dir, "events"), gap_s=CONC_GAP_S)
+    return daily_max_concurrency(interval_concurrency(iv))
+
+
+SQL_DAILY_CONCURRENCY = f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+se AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > {CONC_GAP_S * 1_000_000}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+sid AS (
+  SELECT user_id, us,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM se
+),
+iv AS (
+  SELECT user_id, session_id, min(us) AS start_us,
+         max(us) + 1000000 AS end_us
+  FROM sid GROUP BY 1, 2
+),
+bp AS (
+  SELECT start_us AS us, CAST(1 AS BIGINT) AS delta,
+         user_id, session_id FROM iv
+  UNION ALL
+  SELECT end_us, CAST(-1 AS BIGINT), user_id, session_id FROM iv
+),
+sw AS (
+  SELECT us, sum(delta) OVER (ORDER BY us, delta, user_id, session_id
+                              ROWS UNBOUNDED PRECEDING) AS conc
+  FROM bp
+),
+dd AS (
+  SELECT strftime(make_timestamp(us), '%Y-%m-%d') AS day, us, conc
+  FROM sw
+),
+mx AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n_breakpoints,
+         max(conc) AS m
+  FROM dd GROUP BY 1
+)
+SELECT mx.day, mx.n_breakpoints, CAST(mx.m AS BIGINT) AS max_concurrent,
+       CAST(min(dd.us) AS BIGINT) AS at_us
+FROM mx JOIN dd ON dd.day = mx.day AND dd.conc = mx.m
+GROUP BY 1, 2, 3"""
+
+
+def q_state_history(spark, sf_dir):
+    """Gaps-and-islands SCD2 version history (operators/intervals.py):
+    each user's event_type stream collapsed to half-open
+    valid_from/valid_to version rows — the slowly-changing-dimension
+    build. One per-key window pass + one groupBy; no self-join."""
+    from unarxive_spark.operators.intervals import state_history
+
+    return state_history(_t(spark, sf_dir, "events"))
+
+
+SQL_STATE_HISTORY = """
+WITH ev AS (
+  SELECT user_id, event_type AS state, epoch_us(ts) AS us, event_id
+  FROM events
+),
+ch AS (
+  SELECT user_id, state, us, event_id,
+         CASE WHEN lag(state) OVER w IS NULL
+                OR state != lag(state) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+ver AS (
+  SELECT user_id, state, us,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS version
+  FROM ch
+),
+hist AS (
+  SELECT user_id, CAST(version AS BIGINT) AS version, state,
+         min(us) AS valid_from_us, CAST(count(*) AS BIGINT) AS n_events
+  FROM ver GROUP BY 1, 2, 3
+)
+SELECT user_id, version, state,
+       CAST(valid_from_us AS BIGINT) AS valid_from_us,
+       CAST(lead(valid_from_us) OVER w2 AS BIGINT) AS valid_to_us,
+       n_events,
+       CAST(CASE WHEN lead(valid_from_us) OVER w2 IS NULL
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM hist WINDOW w2 AS (PARTITION BY user_id ORDER BY version)"""
+
+
 def q_funnel(spark, sf_dir):
     """Ordered-sequence funnel (view → click → purchase): per user the
     earliest view, the earliest click strictly after it, the earliest
@@ -2887,8 +2995,6 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_ivf_ann": q_ivf_ann,
     "q55_asof_join": q_asof_join,
     "q56_range_join": q_range_join,
-    "q57_repetition": q_repetition,
-    "q58_pii_scrub": q_pii_scrub,
     "q59_distinct_sketch": q_distinct_sketch,
     "q60_stratified_split": q_stratified_split,
     "q64_value_quantiles": q_value_quantiles,
@@ -2918,12 +3024,16 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q106_dup_span_stats": q_dup_span_stats,
     "q108_kneser_ney": q_kneser_ney,
     "q110_sorted_neighborhood": q_sorted_neighborhood,
+    "q111_daily_concurrency": q_daily_concurrency,
+    "q112_state_history": q_state_history,
     "q77_vocab_topk": q_vocab_topk,
     "q78_containment_pairs": q_containment_pairs,
     "q80_funnel": q_funnel,
     "q81_cohorts": q_cohorts,
     "q82_qdigest_merge": q_qdigest_merge,
     "q83_outlier_trim": q_outlier_trim,
+    "q57_repetition": q_repetition,
+    "q58_pii_scrub": q_pii_scrub,
 }
 
 TABULAR_ORACLES: dict[str, str] = {
@@ -2952,8 +3062,6 @@ TABULAR_ORACLES: dict[str, str] = {
     "q54_ivf_ann": SQL_IVF_ANN,
     "q55_asof_join": SQL_ASOF_JOIN,
     "q56_range_join": SQL_RANGE_JOIN,
-    "q57_repetition": SQL_REPETITION,
-    "q58_pii_scrub": SQL_PII_SCRUB,
     "q59_distinct_sketch": SQL_DISTINCT_SKETCH,
     "q60_stratified_split": SQL_STRATIFIED_SPLIT,
     "q64_value_quantiles": SQL_VALUE_QUANTILES,
@@ -2983,10 +3091,14 @@ TABULAR_ORACLES: dict[str, str] = {
     "q106_dup_span_stats": SQL_DUP_SPAN_STATS,
     "q108_kneser_ney": SQL_KNESER_NEY,
     "q110_sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
+    "q111_daily_concurrency": SQL_DAILY_CONCURRENCY,
+    "q112_state_history": SQL_STATE_HISTORY,
     "q77_vocab_topk": SQL_VOCAB_TOPK,
     "q78_containment_pairs": SQL_CONTAINMENT_PAIRS,
     "q80_funnel": SQL_FUNNEL,
     "q81_cohorts": SQL_COHORTS,
     "q82_qdigest_merge": SQL_QDIGEST_MERGE,
     "q83_outlier_trim": SQL_OUTLIER_TRIM,
+    "q57_repetition": SQL_REPETITION,
+    "q58_pii_scrub": SQL_PII_SCRUB,
 }
