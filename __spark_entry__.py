@@ -93,7 +93,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     (both green r4; q57's explode→agg shape re-pinned by the quality
 #     pytests + parity suite, q58's regex surface by the texttools
 #     row-parity tests — neither shares machinery that is otherwise
-#     uncovered in-cap).
+#     uncovered in-cap).  q113 (skip-gram PMI) and q115 (DSIR scores)
+#     displace q59_distinct_sketch and q60_stratified_split (both
+#     green r4; q59's FM bitmaps re-pinned bit-for-bit by the streaming
+#     sketchstate test + the q61/q65 ANF bitmap family, q60's exact
+#     ceil-quota machinery re-exercised in-cap by q102's mixture
+#     sampler).
 _DEFER_LAST = (
     "q01_transcripts",
     "q02_mine_refs",

@@ -521,3 +521,99 @@ def test_unigram_lm_scores_matches_replay(spark):
         ).collect()
     }
     assert got2[9] > max(got2[d] for d, _ in BPE_DOCS)
+
+
+def test_skipgram_pmi_matches_python_replay(spark):
+    import math
+    from collections import Counter
+
+    from unarxive_spark.operators.corpus import skipgram_pmi
+
+    docs = [
+        "a b c a b",
+        "b c a b a",
+        "c a b a b c",
+        "x",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    W = 2
+    cu, cp, n_uni, n_pairs = Counter(), Counter(), 0, 0
+    for t in docs:
+        ts = t.split()
+        n_uni += len(ts)
+        cu.update(ts)
+        for o in range(1, W + 1):
+            for i in range(len(ts) - o):
+                cp[(ts[i], ts[i + o])] += 1
+                n_pairs += 1
+    want = {}
+    for (a, b), c_ab in cp.items():
+        if c_ab >= 2:
+            pmi = math.log(
+                (c_ab * n_uni * n_uni) / (n_pairs * cu[a] * cu[b])
+            )
+            want[(a, b)] = (c_ab, cu[a], cu[b], round(pmi, 6))
+    got = {
+        (r.token_a, r.token_b): (r.c_ab, r.c_a, r.c_b, r.pmi)
+        for r in skipgram_pmi(df, window=W, min_count=2).collect()
+    }
+    assert got == want
+    # a distance-2 pair adjacent bigrams can't produce must be present
+    assert ("a", "a") in got or ("b", "b") in got or ("c", "b") in got
+
+
+def test_skipgram_window1_equals_bigram_row_set(spark):
+    from unarxive_spark.operators.corpus import bigram_pmi, skipgram_pmi
+
+    df = spark.createDataFrame(
+        [(0, "a b a b a"), (1, "b a b a")], "doc_id long, text string"
+    )
+    sg = {
+        (r.token_a, r.token_b): r.c_ab
+        for r in skipgram_pmi(df, window=1, min_count=1).collect()
+    }
+    bg = {
+        (r.token_a, r.token_b): r.c_ab
+        for r in bigram_pmi(df, min_count=1).collect()
+    }
+    assert sg == bg
+
+
+def test_dsir_scores_prefers_target_like_docs(spark):
+    from unarxive_spark.operators.corpus import dsir_scores
+
+    rows = []
+    # target slice: "wiki"-like vocabulary
+    for i in range(20):
+        rows.append((i, "science theory proof lemma axiom", True))
+    # pool: 5 target-like docs and 15 junk docs
+    for i in range(20, 25):
+        rows.append((i, "theory proof lemma science axiom", False))
+    for i in range(25, 40):
+        rows.append((i, "spam click buy cheap now", False))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, is_target boolean"
+    )
+    out = {r.doc_id: r for r in dsir_scores(df).collect()}
+    assert set(out) == set(range(20, 40))  # pool docs only
+    target_like = [out[i].score_e6 for i in range(20, 25)]
+    junk = [out[i].score_e6 for i in range(25, 40)]
+    assert min(target_like) > max(junk)
+    # exact-integer contract: score is the BIGINT sum / 1e6
+    for r in out.values():
+        assert r.score == round(r.score_e6 / 1e6, 6)
+
+
+def test_dsir_empty_target_is_uniformly_flat(spark):
+    from unarxive_spark.operators.corpus import dsir_scores
+
+    df = spark.createDataFrame(
+        [(0, "a b", False), (1, "c d", False)],
+        "doc_id long, text string, is_target boolean",
+    )
+    out = dsir_scores(df).collect()
+    # with no target tokens every bucket weight is ln((1*(Tr+B))/((cr+1)*B))
+    # — finite, defined; both docs score without error
+    assert {r.doc_id for r in out} == {0, 1}

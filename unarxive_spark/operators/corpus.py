@@ -780,3 +780,171 @@ def unigram_lm_scores(
             F.round(F.exp(ce), 6).alias("perplexity"),
         )
     )
+
+
+def skipgram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 3,
+    min_count: int = 5,
+) -> DataFrame:
+    """Skip-gram co-occurrence PMI: PMI over ordered token pairs at
+    distance 1..``window`` — the word2vec-style context association
+    the adjacent-bigram pass (:func:`bigram_pmi`) cannot see
+    → ``(token_a, token_b, c_ab, c_a, c_b, pmi)``.
+
+    ``pmi = ln(p(a,b) / (p(a)·p(b)))`` with ``p(a,b) = c_ab/N_pairs``
+    and ``p(w) = c_w/N_uni``.  Row set exact (integer counts under
+    ``min_count``); pmi is the only float — identical left-associated
+    expression in the DuckDB oracle, rounded to 6.
+
+    Plan: pair generation is row-local (nested HOF: offsets 1..w ×
+    positions — named factory per the single-parameter-lambda
+    discipline); then the same count/broadcast-join shape as
+    :func:`bigram_pmi`.  Shuffle-free until the pair groupBy.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    d0 = df.select(toks.alias("_toks"))
+    uni = d0.select(F.explode("_toks").alias("t"))
+    cu = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+
+    def _pairs_at(o):
+        # o is the outer HOF lambda's variable; inner lambda stays
+        # single-parameter (i) and closes over it.
+        return F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - 1 - o),
+            lambda i: F.struct(
+                F.col("_toks")[i].alias("a"),
+                F.col("_toks")[i + o].alias("b"),
+            ),
+        )
+
+    pairs = (
+        d0.filter(F.size("_toks") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(
+                                F.lit(int(window)), F.size("_toks") - 1
+                            ),
+                        ),
+                        _pairs_at,
+                    )
+                )
+            ).alias("_p")
+        )
+        .select(
+            F.col("_p.a").alias("token_a"), F.col("_p.b").alias("token_b")
+        )
+    )
+    cp = (
+        pairs.groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= int(min_count))
+    )
+    scalars = F.broadcast(
+        uni.agg(F.count(F.lit(1)).alias("n_uni")).crossJoin(
+            pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+        )
+    )
+    pmi = F.log(
+        (F.col("c_ab").cast("double") * F.col("n_uni") * F.col("n_uni"))
+        / (F.col("n_pairs").cast("double") * F.col("c_a") * F.col("c_b"))
+    )
+    return (
+        cp.join(
+            F.broadcast(
+                cu.select(
+                    F.col("t").alias("token_a"), F.col("c").alias("c_a")
+                )
+            ),
+            "token_a",
+        )
+        .join(
+            F.broadcast(
+                cu.select(
+                    F.col("t").alias("token_b"), F.col("c").alias("c_b")
+                )
+            ),
+            "token_b",
+        )
+        .crossJoin(scalars)
+        .select(
+            "token_a",
+            "token_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(pmi, 6).alias("pmi"),
+        )
+    )
+
+
+def dsir_scores(
+    df: DataFrame,
+    is_target: str = "is_target",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance scores (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    NON-target document by the log-likelihood ratio of a hashed
+    unigram LM fit on the target slice vs one fit on the pool
+    → ``(doc_id, n_tokens, score_e6, score)``.
+
+    Integer discipline: per-bucket weight is
+    ``round(1e6 · ln((ct+1)(Tr+B) / ((cr+1)(Tt+B))))`` stored as
+    BIGINT (one ln of a ratio of exact integers — the q107
+    adamic-adar rounding contract), so the per-doc score is an exact
+    BIGINT sum, independent of float summation order.
+
+    Plan: one token explode, one ≤``n_buckets``-row weight table
+    (broadcast), one groupBy per doc.  The weight table is
+    metadata-sized at any corpus scale.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.col(is_target).alias("_tgt"),
+        F.explode(toks).alias("t"),
+    ).withColumn("_b", F.pmod(h64(F.col("t")), F.lit(int(n_buckets))))
+    per_bucket = ex.groupBy("_b").agg(
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("_tgt"), 0).otherwise(1)).alias("cr"),
+    )
+    totals = F.broadcast(
+        ex.agg(
+            F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("tt"),
+            F.sum(F.when(F.col("_tgt"), 0).otherwise(1)).alias("tr"),
+        )
+    )
+    b = F.lit(int(n_buckets)).cast("double")
+    w_e6 = F.round(
+        F.lit(1e6)
+        * F.log(
+            ((F.col("ct") + 1).cast("double") * (F.col("tr") + b))
+            / ((F.col("cr") + 1).cast("double") * (F.col("tt") + b))
+        )
+    ).cast("long")
+    weights = per_bucket.crossJoin(totals).select(
+        "_b", w_e6.alias("_w")
+    )
+    return (
+        ex.filter(~F.col("_tgt"))
+        .join(F.broadcast(weights), "_b")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_w").alias("score_e6"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "score_e6",
+            F.round(F.col("score_e6") / 1e6, 6).alias("score"),
+        )
+    )

@@ -2283,6 +2283,119 @@ FROM mx JOIN dd ON dd.day = mx.day AND dd.conc = mx.m
 GROUP BY 1, 2, 3"""
 
 
+SKIPGRAM_WINDOW = 3
+SKIPGRAM_MIN_COUNT = 5
+
+
+def q_skipgram_pmi(spark, sf_dir):
+    """Skip-gram window co-occurrence PMI (operators/corpus.py):
+    ordered token pairs at distance 1..3 — the word2vec-context
+    association measure next to q95's adjacent bigrams. Pair
+    generation is row-local (nested HOF), counts exact integers, pmi
+    the only float (identical expression both engines)."""
+    from unarxive_spark.operators.corpus import skipgram_pmi
+
+    return skipgram_pmi(
+        _t(spark, sf_dir, "documents"),
+        window=SKIPGRAM_WINDOW,
+        min_count=SKIPGRAM_MIN_COUNT,
+    )
+
+
+def _sql_skipgram_pmi() -> str:
+    tok = (
+        "list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+        "t -> t != '')"
+    )
+    return f"""
+WITH d AS (SELECT {tok} AS toks FROM documents),
+uni AS (SELECT unnest(toks) AS t FROM d),
+cu AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+nu AS (SELECT CAST(count(*) AS BIGINT) AS n_uni FROM uni),
+pr AS (
+  SELECT unnest(flatten(list_transform(
+           range(1, least({SKIPGRAM_WINDOW}, len(toks) - 1) + 1),
+           o -> list_transform(range(1, len(toks) - o + 1),
+                               i -> toks[i] || ' ' || toks[i + o])))) AS pg
+  FROM d WHERE len(toks) >= 2
+),
+cp AS (
+  SELECT split_part(pg, ' ', 1) AS token_a,
+         split_part(pg, ' ', 2) AS token_b,
+         CAST(count(*) AS BIGINT) AS c_ab
+  FROM pr GROUP BY 1, 2
+),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pr)
+SELECT token_a, token_b, c_ab, ca.c AS c_a, cbt.c AS c_b,
+       round(ln((CAST(c_ab AS DOUBLE) * n_uni * n_uni)
+                / (CAST(n_pairs AS DOUBLE) * ca.c * cbt.c)), 6) AS pmi
+FROM cp
+JOIN cu ca ON ca.t = token_a
+JOIN cu cbt ON cbt.t = token_b, nu, np
+WHERE c_ab >= {SKIPGRAM_MIN_COUNT}"""
+
+
+SQL_SKIPGRAM_PMI = _sql_skipgram_pmi()
+
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET = ("src0", "src1")
+
+
+def q_dsir_scores(spark, sf_dir):
+    """DSIR importance scores (operators/corpus.py): hashed-unigram
+    log-likelihood ratio of a target-slice LM (source src0/src1) vs
+    the pool LM, per pool document. Per-bucket integer weights
+    (round(1e6·ln ratio) as BIGINT) make the doc score an exact
+    integer sum — order-independent across engines."""
+    from unarxive_spark.operators.corpus import dsir_scores
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "is_target", F.col("source").isin(*DSIR_TARGET)
+    )
+    return dsir_scores(d, n_buckets=DSIR_BUCKETS)
+
+
+def _sql_dsir_scores() -> str:
+    tok = (
+        "list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+        "t -> t != '')"
+    )
+    tgt = "source IN ('src0', 'src1')"
+    hb = h64_sql("t")
+    b = DSIR_BUCKETS
+    return f"""
+WITH ex AS (
+  SELECT doc_id, tgt, {hb} % {b} AS b
+  FROM (SELECT doc_id, {tgt} AS tgt, unnest({tok}) AS t FROM documents)
+),
+pb AS (
+  SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+         sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+  FROM ex GROUP BY 1
+),
+tot AS (
+  SELECT sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tt,
+         sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS tr
+  FROM ex
+),
+w AS (
+  SELECT b,
+         CAST(round(1e6 * ln((CAST(ct + 1 AS DOUBLE) * (tr + {b}e0))
+                             / (CAST(cr + 1 AS DOUBLE) * (tt + {b}e0))))
+              AS BIGINT) AS wgt
+  FROM pb, tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(wgt) AS BIGINT) AS score_e6,
+       round(sum(wgt) / 1e6, 6) AS score
+FROM ex JOIN w USING (b)
+WHERE NOT tgt GROUP BY 1"""
+
+
+SQL_DSIR_SCORES = _sql_dsir_scores()
+
+
 def q_state_history(spark, sf_dir):
     """Gaps-and-islands SCD2 version history (operators/intervals.py):
     each user's event_type stream collapsed to half-open
@@ -2995,8 +3108,6 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_ivf_ann": q_ivf_ann,
     "q55_asof_join": q_asof_join,
     "q56_range_join": q_range_join,
-    "q59_distinct_sketch": q_distinct_sketch,
-    "q60_stratified_split": q_stratified_split,
     "q64_value_quantiles": q_value_quantiles,
     "q66_asof_chunked": q_asof_join_chunked,
     "q67_cm_sketch": q_cm_sketch,
@@ -3026,6 +3137,8 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q110_sorted_neighborhood": q_sorted_neighborhood,
     "q111_daily_concurrency": q_daily_concurrency,
     "q112_state_history": q_state_history,
+    "q113_skipgram_pmi": q_skipgram_pmi,
+    "q115_dsir_scores": q_dsir_scores,
     "q77_vocab_topk": q_vocab_topk,
     "q78_containment_pairs": q_containment_pairs,
     "q80_funnel": q_funnel,
@@ -3034,6 +3147,8 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q83_outlier_trim": q_outlier_trim,
     "q57_repetition": q_repetition,
     "q58_pii_scrub": q_pii_scrub,
+    "q59_distinct_sketch": q_distinct_sketch,
+    "q60_stratified_split": q_stratified_split,
 }
 
 TABULAR_ORACLES: dict[str, str] = {
@@ -3062,8 +3177,6 @@ TABULAR_ORACLES: dict[str, str] = {
     "q54_ivf_ann": SQL_IVF_ANN,
     "q55_asof_join": SQL_ASOF_JOIN,
     "q56_range_join": SQL_RANGE_JOIN,
-    "q59_distinct_sketch": SQL_DISTINCT_SKETCH,
-    "q60_stratified_split": SQL_STRATIFIED_SPLIT,
     "q64_value_quantiles": SQL_VALUE_QUANTILES,
     "q66_asof_chunked": SQL_ASOF_JOIN,
     "q67_cm_sketch": SQL_CM_SKETCH,
@@ -3093,6 +3206,8 @@ TABULAR_ORACLES: dict[str, str] = {
     "q110_sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
     "q111_daily_concurrency": SQL_DAILY_CONCURRENCY,
     "q112_state_history": SQL_STATE_HISTORY,
+    "q113_skipgram_pmi": SQL_SKIPGRAM_PMI,
+    "q115_dsir_scores": SQL_DSIR_SCORES,
     "q77_vocab_topk": SQL_VOCAB_TOPK,
     "q78_containment_pairs": SQL_CONTAINMENT_PAIRS,
     "q80_funnel": SQL_FUNNEL,
@@ -3101,4 +3216,6 @@ TABULAR_ORACLES: dict[str, str] = {
     "q83_outlier_trim": SQL_OUTLIER_TRIM,
     "q57_repetition": SQL_REPETITION,
     "q58_pii_scrub": SQL_PII_SCRUB,
+    "q59_distinct_sketch": SQL_DISTINCT_SKETCH,
+    "q60_stratified_split": SQL_STRATIFIED_SPLIT,
 }
