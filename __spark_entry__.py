@@ -98,7 +98,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #     green r4; q59's FM bitmaps re-pinned bit-for-bit by the streaming
 #     sketchstate test + the q61/q65 ANF bitmap family, q60's exact
 #     ceil-quota machinery re-exercised in-cap by q102's mixture
-#     sampler).
+#     sampler).  q114 (katz) displaces q64_value_quantiles (green r4;
+#     exact-quantile machinery superseded in-cap by the q71 q-digest
+#     family, re-pinned every round by tests/test_qdigest.py).
 _DEFER_LAST = (
     "q01_transcripts",
     "q02_mine_refs",

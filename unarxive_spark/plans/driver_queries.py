@@ -2331,6 +2331,61 @@ SELECT conv_id, CAST(min(t) AS BIGINT) AS reach_us
 FROM walk GROUP BY 1"""
 
 
+KATZ_ROUNDS = 4
+
+
+def q_katz(spark, sf_dir):
+    """Katz centrality (operators/katz.py): discounted walk spectrum
+    with β = 1/2 over exactly 4 supersteps — the 2^4-scaled score is a
+    BIGINT computed identically by both engines (z_t = 2·z_{t-1} + w_t,
+    integer walk-count gathers), so katz_e is bit-exact and katz is the
+    exact dyadic z/16. Fixed horizon == oracle unroll: truncation
+    identical by construction."""
+    from unarxive_spark.operators.katz import katz_centrality
+
+    return katz_centrality(_edges(spark, sf_dir), rounds=KATZ_ROUNDS)
+
+
+def _sql_katz() -> str:
+    rounds = KATZ_ROUNDS
+    ctes = [
+        """
+ke AS MATERIALIZED (
+  SELECT src_conv_id AS u, dst_conv_id AS v, CAST(weight AS BIGINT) AS w
+  FROM edges
+),
+k0 AS MATERIALIZED (
+  SELECT cv, CAST(1 AS BIGINT) AS w, CAST(1 AS BIGINT) AS z
+  FROM (SELECT u AS cv FROM ke UNION SELECT v FROM ke)
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = f"k{r - 1}"
+        ctes.append(
+            f"""
+k{r} AS MATERIALIZED (
+  SELECT {p}.cv,
+         CAST(coalesce(g.s, 0) AS BIGINT) AS w,
+         CAST(2 * {p}.z + coalesce(g.s, 0) AS BIGINT) AS z
+  FROM {p} LEFT JOIN (
+    SELECT ke.v AS cv, sum({p}.w * ke.w) AS s
+    FROM ke JOIN {p} ON {p}.cv = ke.u GROUP BY 1
+  ) g ON g.cv = {p}.cv
+)"""
+        )
+    return (
+        f"{GRAPH_PREFIX},"
+        + ",".join(ctes)
+        + f"""
+SELECT cv AS conv_id, w AS walks_in, z AS katz_e,
+       round(z / {float(2 ** rounds)}, 6) AS katz
+FROM k{rounds}"""
+    )
+
+
+SQL_KATZ = _sql_katz()
+
+
 GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_transcripts": q_transcripts,
     "q02_mine_refs": q_mine_refs,
@@ -2382,6 +2437,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q101_temporal_reach": q_temporal_reach,
     "q107_adamic_adar": q_adamic_adar,
     "q109_landmark_closeness": q_landmark_closeness,
+    "q114_katz": q_katz,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
@@ -2433,4 +2489,5 @@ GRAPH_ORACLES: dict[str, str] = {
     "q101_temporal_reach": SQL_TEMPORAL_REACH,
     "q107_adamic_adar": SQL_ADAMIC_ADAR,
     "q109_landmark_closeness": SQL_LANDMARK_CLOSENESS,
+    "q114_katz": SQL_KATZ,
 }

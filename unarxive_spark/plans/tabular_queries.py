@@ -3108,7 +3108,6 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_ivf_ann": q_ivf_ann,
     "q55_asof_join": q_asof_join,
     "q56_range_join": q_range_join,
-    "q64_value_quantiles": q_value_quantiles,
     "q66_asof_chunked": q_asof_join_chunked,
     "q67_cm_sketch": q_cm_sketch,
     "q68_bloom_semijoin": q_bloom_semijoin,
@@ -3149,6 +3148,7 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_pii_scrub": q_pii_scrub,
     "q59_distinct_sketch": q_distinct_sketch,
     "q60_stratified_split": q_stratified_split,
+    "q64_value_quantiles": q_value_quantiles,
 }
 
 TABULAR_ORACLES: dict[str, str] = {
@@ -3177,7 +3177,6 @@ TABULAR_ORACLES: dict[str, str] = {
     "q54_ivf_ann": SQL_IVF_ANN,
     "q55_asof_join": SQL_ASOF_JOIN,
     "q56_range_join": SQL_RANGE_JOIN,
-    "q64_value_quantiles": SQL_VALUE_QUANTILES,
     "q66_asof_chunked": SQL_ASOF_JOIN,
     "q67_cm_sketch": SQL_CM_SKETCH,
     "q68_bloom_semijoin": SQL_BLOOM_SEMIJOIN,
@@ -3218,4 +3217,5 @@ TABULAR_ORACLES: dict[str, str] = {
     "q58_pii_scrub": SQL_PII_SCRUB,
     "q59_distinct_sketch": SQL_DISTINCT_SKETCH,
     "q60_stratified_split": SQL_STRATIFIED_SPLIT,
+    "q64_value_quantiles": SQL_VALUE_QUANTILES,
 }
