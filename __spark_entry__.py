@@ -101,6 +101,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #     sampler).  q114 (katz) displaces q64_value_quantiles (green r4;
 #     exact-quantile machinery superseded in-cap by the q71 q-digest
 #     family, re-pinned every round by tests/test_qdigest.py).
+#     q116 (hll) displaces q66_asof_chunked (green r4; it shares BOTH
+#     its oracle string and its engine code path with in-cap q55, plus
+#     the chunked==plain equivalence pytest).
 _DEFER_LAST = (
     "q01_transcripts",
     "q02_mine_refs",

@@ -134,3 +134,66 @@ def test_bloom_filter_membership(spark):
     # the filter actually prunes: most outsiders rejected
     fp = sum(got[f"out{i}"] for i in range(400))
     assert fp < 40  # ~ (1 - e^-kn/m)^k << 10% here
+
+
+# ---------------------------------------------------------------------
+# HyperLogLog (q116 machinery)
+# ---------------------------------------------------------------------
+
+
+def test_hll_accuracy_envelope(spark):
+    from unarxive_spark.operators.sketch import hll_sketch
+
+    n = 5000
+    df = spark.range(n).selectExpr(
+        "CAST(id % 2 AS STRING) AS g", "id AS k"
+    )
+    out = {r.g: r for r in hll_sketch(df, "k", ["g"]).collect()}
+    for g, true in (("0", n // 2), ("1", n // 2)):
+        # m=64 -> relative std error 1.04/sqrt(64) = 13%; 3 sigma = 39%
+        assert abs(out[g].est_distinct - true) / true < 0.39
+
+
+def test_hll_linear_counting_small_range(spark):
+    import math
+
+    from unarxive_spark.operators.sketch import hll_sketch
+
+    df = spark.range(10).selectExpr("'a' AS g", "id AS k")
+    row = hll_sketch(df, "k", ["g"]).collect()[0]
+    # 10 distinct over 64 registers: small-range branch must fire
+    assert row.n_zero_regs > 0
+    want = 64.0 * math.log(64.0 / row.n_zero_regs)
+    assert row.est_distinct == round(want, 6)
+    assert abs(row.est_distinct - 10) < 4
+
+
+def test_hll_merge_equals_one_shot(spark):
+    from unarxive_spark.operators.sketch import hll_estimate, hll_registers
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000).selectExpr("'a' AS g", "id AS k")
+    left = hll_registers(df.filter("k < 1200"), "k", ["g"])
+    right = hll_registers(df.filter("k >= 800"), "k", ["g"])  # overlap
+    merged = (
+        left.unionByName(right)
+        .groupBy("g", "reg")
+        .agg(F.max("mj").alias("mj"))
+    )
+    one_shot = hll_estimate(hll_registers(df, "k", ["g"]), ["g"]).collect()[0]
+    via_merge = hll_estimate(merged, ["g"]).collect()[0]
+    # register-exact merge: identical BIGINT numerator and estimate
+    assert via_merge.harmonic_e == one_shot.harmonic_e
+    assert via_merge.est_distinct == one_shot.est_distinct
+
+
+def test_hll_rejects_non_power_of_two_registers(spark):
+    import pytest as _pytest
+
+    from unarxive_spark.operators.sketch import hll_registers, hll_sketch_sql
+
+    df = spark.range(4).selectExpr("'a' AS g", "id AS k")
+    with _pytest.raises(ValueError):
+        hll_registers(df, "k", ["g"], n_regs=48)
+    with _pytest.raises(ValueError):
+        hll_sketch_sql("t", "k", ["g"], n_regs=48)

@@ -373,3 +373,158 @@ SELECT pr.k,
                      THEN 1 ELSE 0 END) AS INT) AS in_bloom
 FROM pr LEFT JOIN bl USING (word)
 GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007): stochastic-averaging cardinality
+# sketch — the max-register successor to the PCSA/FM bitmap sketch
+# above.  Register state is max(rho) per bucket (trivially mergeable);
+# the harmonic mean's numerator Σ 2^(RHO_CAP - M_j) is kept as an exact
+# BIGINT so both engines agree bit-for-bit before the one float
+# division that produces the estimate.
+# ---------------------------------------------------------------------
+
+
+def _hll_rho(rest):
+    """Lowest-set-bit position of the post-register hash bits (capped
+    at _RHO_CAP for rest == 0) — same rank function as the FM sketch."""
+    low = rest.bitwiseAND(-rest)
+    return F.when(rest == 0, F.lit(_RHO_CAP)).otherwise(
+        (F.floor(F.log2(low)) + F.lit(1)).cast("int")
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str],
+    n_regs: int = 64,
+) -> DataFrame:
+    """→ ``(group_cols..., reg, mj)``: the HLL register table.  Merging
+    two sketches = unionByName + groupBy max — exercised by the pytest
+    merge-equivalence check."""
+    bits = int(n_regs).bit_length() - 1
+    if n_regs != 1 << bits:
+        raise ValueError(f"n_regs must be a power of two: {n_regs}")
+    h = h64(F.col(key_col).cast("string"))
+    rest = F.shiftright(h, bits)
+    return (
+        df.select(
+            *group_cols,
+            h.bitwiseAND(F.lit(n_regs - 1)).alias("reg"),
+            _hll_rho(rest).alias("_rho"),
+        )
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("_rho").alias("mj"))
+    )
+
+
+def _hll_alpha_scale(n_regs: int) -> float:
+    """alpha_m · m² · 2^RHO_CAP as one python double, embedded verbatim
+    in both engines so the estimate expression is literally identical."""
+    alpha = 0.7213 / (1.0 + 1.079 / n_regs)
+    return alpha * n_regs * n_regs * float(2**_RHO_CAP)
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: Sequence[str],
+    n_regs: int = 64,
+) -> DataFrame:
+    """Registers → ``(group_cols..., n_zero_regs, harmonic_e,
+    est_distinct)``.
+
+    ``harmonic_e = Σ_j 2^(RHO_CAP - M_j)`` over all ``n_regs`` registers
+    (absent registers count ``2^RHO_CAP``) — exact BIGINT.  The estimate
+    applies the standard small-range linear-counting correction when
+    ``est_raw ≤ 2.5·m`` and zero registers remain.
+    """
+    group_cols = list(group_cols)
+    m = int(n_regs)
+    scale = _hll_alpha_scale(m)
+    # 2^(cap-mj) is an exact power of two ≤ 2^54: exact in double, and
+    # the cast back to long is exact — the sum is pure BIGINT.
+    term = F.pow(
+        F.lit(2.0), (F.lit(_RHO_CAP) - F.col("mj")).cast("double")
+    ).cast("long")
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_np"),
+        F.sum(term).alias("_hp"),
+    )
+    harmonic = (
+        F.col("_hp")
+        + (F.lit(m) - F.col("_np")) * F.lit(int(2**_RHO_CAP))
+    ).cast("long")
+    v = (F.lit(m) - F.col("_np")).cast("long")
+    est_raw = F.lit(scale) / F.col("harmonic_e")
+    est = F.when(
+        (est_raw <= F.lit(2.5 * m)) & (F.col("n_zero_regs") > 0),
+        F.lit(float(m))
+        * F.log(F.lit(float(m)) / F.col("n_zero_regs")),
+    ).otherwise(est_raw)
+    return agg.select(
+        *group_cols,
+        v.alias("n_zero_regs"),
+        harmonic.alias("harmonic_e"),
+    ).select(
+        *group_cols,
+        "n_zero_regs",
+        "harmonic_e",
+        F.round(est, 6).alias("est_distinct"),
+    )
+
+
+def hll_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str],
+    n_regs: int = 64,
+) -> DataFrame:
+    """Approximate distinct ``key_col`` per group via HyperLogLog."""
+    return hll_estimate(
+        hll_registers(df, key_col, group_cols, n_regs), group_cols, n_regs
+    )
+
+
+def hll_sketch_sql(
+    table: str,
+    key_expr: str,
+    group_cols: Sequence[str],
+    n_regs: int = 64,
+) -> str:
+    """DuckDB rendering of :func:`hll_sketch` (same hash, same register
+    math, same literal alpha·m²·2^cap scale constant)."""
+    gc = ", ".join(group_cols)
+    bits = int(n_regs).bit_length() - 1
+    if n_regs != 1 << bits:
+        raise ValueError(f"n_regs must be a power of two: {n_regs}")
+    m = int(n_regs)
+    cap = _RHO_CAP
+    scale = _hll_alpha_scale(m)
+    h = h64_sql(f"CAST({key_expr} AS VARCHAR)")
+    return f"""
+WITH hr AS (
+  SELECT {gc},
+         (({h}) & {m - 1}) AS reg,
+         (({h}) >> {bits}) AS rest
+  FROM {table}
+), hm AS (
+  SELECT {gc}, reg,
+         max(CASE WHEN rest = 0 THEN {cap}
+                  ELSE CAST(floor(log2(rest & -rest)) AS INT) + 1
+             END) AS mj
+  FROM hr GROUP BY ALL
+), ha AS (
+  SELECT {gc},
+         CAST({m} - count(*) AS BIGINT) AS n_zero_regs,
+         CAST(sum(CAST(pow(2.0, {cap} - mj) AS BIGINT))
+              + ({m} - count(*)) * {2 ** cap} AS BIGINT) AS harmonic_e
+  FROM hm GROUP BY ALL
+)
+SELECT {gc}, n_zero_regs, harmonic_e,
+       round(CASE WHEN {scale!r} / harmonic_e <= {2.5 * m}
+                   AND n_zero_regs > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / n_zero_regs)
+                  ELSE {scale!r} / harmonic_e
+             END, 6) AS est_distinct
+FROM ha"""

@@ -2396,6 +2396,37 @@ WHERE NOT tgt GROUP BY 1"""
 SQL_DSIR_SCORES = _sql_dsir_scores()
 
 
+HLL_REGS = 64
+
+
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct event_ids per event_type
+    (operators/sketch.py): max-rho registers with stochastic
+    averaging — the mergeable successor to q59's FM/PCSA bitmaps. The
+    harmonic-mean numerator is an exact BIGINT (absent registers count
+    2^55), value-checked bit-for-bit; the estimate is one shared float
+    expression with the standard linear-counting small-range branch."""
+    from unarxive_spark.operators.sketch import hll_sketch
+
+    return hll_sketch(
+        _t(spark, sf_dir, "events"),
+        key_col="event_id",
+        group_cols=["event_type"],
+        n_regs=HLL_REGS,
+    )
+
+
+def _sql_hll_distinct() -> str:
+    from unarxive_spark.operators.sketch import hll_sketch_sql
+
+    return hll_sketch_sql(
+        "events", "event_id", ["event_type"], n_regs=HLL_REGS
+    )
+
+
+SQL_HLL_DISTINCT = _sql_hll_distinct()
+
+
 def q_state_history(spark, sf_dir):
     """Gaps-and-islands SCD2 version history (operators/intervals.py):
     each user's event_type stream collapsed to half-open
@@ -3108,7 +3139,6 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_ivf_ann": q_ivf_ann,
     "q55_asof_join": q_asof_join,
     "q56_range_join": q_range_join,
-    "q66_asof_chunked": q_asof_join_chunked,
     "q67_cm_sketch": q_cm_sketch,
     "q68_bloom_semijoin": q_bloom_semijoin,
     "q70_qdigest_state": q_qdigest_state,
@@ -3138,6 +3168,7 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q112_state_history": q_state_history,
     "q113_skipgram_pmi": q_skipgram_pmi,
     "q115_dsir_scores": q_dsir_scores,
+    "q116_hll_distinct": q_hll_distinct,
     "q77_vocab_topk": q_vocab_topk,
     "q78_containment_pairs": q_containment_pairs,
     "q80_funnel": q_funnel,
@@ -3149,6 +3180,7 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q59_distinct_sketch": q_distinct_sketch,
     "q60_stratified_split": q_stratified_split,
     "q64_value_quantiles": q_value_quantiles,
+    "q66_asof_chunked": q_asof_join_chunked,
 }
 
 TABULAR_ORACLES: dict[str, str] = {
@@ -3177,7 +3209,6 @@ TABULAR_ORACLES: dict[str, str] = {
     "q54_ivf_ann": SQL_IVF_ANN,
     "q55_asof_join": SQL_ASOF_JOIN,
     "q56_range_join": SQL_RANGE_JOIN,
-    "q66_asof_chunked": SQL_ASOF_JOIN,
     "q67_cm_sketch": SQL_CM_SKETCH,
     "q68_bloom_semijoin": SQL_BLOOM_SEMIJOIN,
     "q70_qdigest_state": SQL_QDIGEST_STATE,
@@ -3207,6 +3238,7 @@ TABULAR_ORACLES: dict[str, str] = {
     "q112_state_history": SQL_STATE_HISTORY,
     "q113_skipgram_pmi": SQL_SKIPGRAM_PMI,
     "q115_dsir_scores": SQL_DSIR_SCORES,
+    "q116_hll_distinct": SQL_HLL_DISTINCT,
     "q77_vocab_topk": SQL_VOCAB_TOPK,
     "q78_containment_pairs": SQL_CONTAINMENT_PAIRS,
     "q80_funnel": SQL_FUNNEL,
@@ -3218,4 +3250,5 @@ TABULAR_ORACLES: dict[str, str] = {
     "q59_distinct_sketch": SQL_DISTINCT_SKETCH,
     "q60_stratified_split": SQL_STRATIFIED_SPLIT,
     "q64_value_quantiles": SQL_VALUE_QUANTILES,
+    "q66_asof_chunked": SQL_ASOF_JOIN,
 }
