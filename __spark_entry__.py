@@ -103,7 +103,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #     family, re-pinned every round by tests/test_qdigest.py).
 #     q116 (hll) displaces q66_asof_chunked (green r4; it shares BOTH
 #     its oracle string and its engine code path with in-cap q55, plus
-#     the chunked==plain equivalence pytest).
+#     the chunked==plain equivalence pytest).  q117 (quality funnel)
+#     and q118 (reciprocity) displace q67_cm_sketch and
+#     q68_bloom_semijoin (both green r4; the exact-integer sketch
+#     family keeps an in-cap representative in q116's bit-exact
+#     harmonic numerator and both are re-pinned by the parity suite +
+#     python replays).  q119 (phrase search) and q120 (negative edges)
+#     displace q71_qdigest_quantiles and q75_dedup_clusters (both
+#     green r4; the q-digest family keeps q70 in-cap and is pinned
+#     bit-for-bit by tests/test_qdigest.py; the pair→WCC→survivor
+#     machinery is pinned by the q75 pytest fixtures and its family
+#     re-evidenced in-cap by q110/q33-shape candidates).
 _DEFER_LAST = (
     "q01_transcripts",
     "q02_mine_refs",

@@ -617,3 +617,31 @@ def test_dsir_empty_target_is_uniformly_flat(spark):
     # with no target tokens every bucket weight is ln((1*(Tr+B))/((cr+1)*B))
     # — finite, defined; both docs score without error
     assert {r.doc_id for r in out} == {0, 1}
+
+
+def test_top_phrase_occurrences_argmax_and_positions(spark):
+    from unarxive_spark.operators.corpus import top_phrase_occurrences
+
+    df = spark.createDataFrame(
+        [
+            (0, "the quick fox the quick fox jumps"),
+            (1, "the quick fox again"),
+            (2, "zz yy xx"),
+            (3, "ab"),  # shorter than n: no grams
+        ],
+        "doc_id long, text string",
+    )
+    out = top_phrase_occurrences(df, n=3).collect()
+    assert all(r.phrase == "the quick fox" for r in out)
+    assert all(r.n_total == 3 for r in out)
+    assert {(r.doc_id, r.pos) for r in out} == {(0, 0), (0, 3), (1, 0)}
+
+
+def test_top_phrase_tie_breaks_lexicographically(spark):
+    from unarxive_spark.operators.corpus import top_phrase_occurrences
+
+    df = spark.createDataFrame(
+        [(0, "b b b"), (1, "a a a")], "doc_id long, text string"
+    )
+    out = top_phrase_occurrences(df, n=3).collect()
+    assert len(out) == 1 and out[0].phrase == "a a a"

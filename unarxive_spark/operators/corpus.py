@@ -948,3 +948,59 @@ def dsir_scores(
             F.round(F.col("score_e6") / 1e6, 6).alias("score"),
         )
     )
+
+
+def top_phrase_occurrences(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional phrase search over the corpus's own argmax phrase:
+    find the most frequent ``n``-gram (tie → lexicographically
+    smallest) and return every occurrence
+    → ``(doc_id, pos, phrase, n_total)``.
+
+    The self-contained argmax keeps the query deterministic at every
+    scale factor (a fixed literal phrase could go extinct as the
+    corpus changes).  Plan: row-local n-gram generation (HOF slice —
+    the positional inverted index), one count groupBy, two 1-row
+    scalar aggregates (max count, then min phrase at that count — the
+    accepted broadcast-scalar pattern), one broadcast equi-join back.
+    No window, no cartesian on data-sized tables.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .filter(F.size("_toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_toks") - n),
+                    lambda i: F.struct(
+                        i.cast("long").alias("pos"),
+                        F.concat_ws(
+                            " ", F.slice("_toks", i + 1, n)
+                        ).alias("phrase"),
+                    ),
+                )
+            ).alias("_g"),
+        )
+        .select("doc_id", F.col("_g.pos"), F.col("_g.phrase"))
+    )
+    counts = grams.groupBy("phrase").agg(F.count(F.lit(1)).alias("c"))
+    mx = F.broadcast(counts.agg(F.max("c").alias("_mx")))
+    best = F.broadcast(
+        counts.crossJoin(mx)
+        .filter(F.col("c") == F.col("_mx"))
+        .agg(
+            F.min("phrase").alias("phrase"),
+            F.max("c").alias("n_total"),
+        )
+    )
+    return grams.join(best, "phrase").select(
+        "doc_id", "pos", "phrase", "n_total"
+    )

@@ -354,3 +354,87 @@ def mixture_sample(
             n_copies.cast("long").alias("n_copies"),
         )
     )
+
+
+def negative_edge_samples(
+    edges: DataFrame,
+    k: int = 2,
+    n_buckets: int = 64,
+    src_col: str = "src_conv_id",
+    dst_col: str = "dst_conv_id",
+) -> DataFrame:
+    """Deterministic negative-edge sampling for link-prediction
+    training sets → ``(src_conv_id, dst_conv_id, sample_idx)``: for
+    every vertex ``u`` and ``j ∈ 1..k``, a pseudo-random candidate
+    vertex that is NOT adjacent to ``u`` in either direction.
+
+    Candidate pick is the two-level de-skewed uniform draw: vertices
+    are hash-bucketed (``h64(v) % n_buckets``) and ranked WITHIN their
+    bucket (window partitioned by bucket — parallel, never a global
+    sort); the probe ``h64(u#j)`` selects ``(bucket, rank % size)``
+    via a broadcast ≤n_buckets-row size table.  Self-picks and probes
+    into empty buckets drop (deterministically, both engines).  At
+    cluster scale raise ``n_buckets`` ≈ |V|/1e6 so per-bucket windows
+    stay bounded.
+
+    Near-uniform, not exactly uniform (vertices in small buckets are
+    slightly favored) — the standard trade for a rank-free
+    distributed draw; exactness of the SAMPLE SET is what matters for
+    reproducible training data, and that is bit-stable across engines.
+    """
+    if k < 1 or n_buckets < 1:
+        raise ValueError("k and n_buckets must be >= 1")
+    verts = (
+        edges.select(F.col(src_col).alias("v"))
+        .unionByName(edges.select(F.col(dst_col).alias("v")))
+        .distinct()
+        .withColumn("_h", h64(F.col("v")))
+        .withColumn("_b", F.pmod(F.col("_h"), F.lit(int(n_buckets))))
+    )
+    w = Window.partitionBy("_b").orderBy("_h", "v")
+    ranked = verts.select(
+        "v", "_b", (F.row_number().over(w) - 1).cast("long").alias("_r")
+    )
+    sizes = F.broadcast(
+        ranked.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    )
+    probes = (
+        edges.select(F.col(src_col).alias("u"))
+        .unionByName(edges.select(F.col(dst_col).alias("u")))
+        .distinct()
+        .select(
+            "u", F.explode(F.sequence(F.lit(1), F.lit(int(k)))).alias("j")
+        )
+        .withColumn(
+            "_ph",
+            h64(F.concat(F.col("u"), F.lit("#neg"), F.col("j").cast("string"))),
+        )
+        .withColumn("_b", F.pmod(F.col("_ph"), F.lit(int(n_buckets))))
+    )
+    cand = (
+        probes.join(sizes, "_b")
+        .withColumn(
+            # integer division: _ph is 60-bit, a double round-trip
+            # would corrupt the low bits past 2^53
+            "_r",
+            F.pmod(F.expr(f"_ph DIV {int(n_buckets)}"), F.col("_n")),
+        )
+        .join(ranked, ["_b", "_r"])
+        .filter(F.col("v") != F.col("u"))
+        .select(
+            F.col("u").alias(src_col),
+            F.col("v").alias(dst_col),
+            F.col("j").cast("long").alias("sample_idx"),
+        )
+    )
+    und = (
+        edges.select(F.col(src_col), F.col(dst_col))
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias(src_col),
+                F.col(src_col).alias(dst_col),
+            )
+        )
+        .distinct()
+    )
+    return cand.join(und, [src_col, dst_col], "left_anti")

@@ -2386,6 +2386,108 @@ FROM k{rounds}"""
 SQL_KATZ = _sql_katz()
 
 
+def q_reciprocity(spark, sf_dir):
+    """Directed-graph reciprocity (Newman: fraction of edges whose
+    reverse edge also exists) — the mutual-citation rate. One distinct
+    edge set + one self-semi-join on the reversed key + two 1-row
+    aggregates; no window, no cartesian."""
+    e = (
+        _edges(spark, sf_dir)
+        .select("src_conv_id", "dst_conv_id")
+        .filter(F.col("src_conv_id") != F.col("dst_conv_id"))
+        .distinct()
+    )
+    rev = e.select(
+        F.col("dst_conv_id").alias("src_conv_id"),
+        F.col("src_conv_id").alias("dst_conv_id"),
+    )
+    mutual = e.join(rev, ["src_conv_id", "dst_conv_id"], "left_semi")
+    n_e = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_m = mutual.agg(F.count(F.lit(1)).alias("n_mutual"))
+    return (
+        n_e.crossJoin(F.broadcast(n_m))
+        .select(
+            "n_edges",
+            "n_mutual",
+            F.round(
+                F.col("n_mutual").cast("double") / F.col("n_edges"), 6
+            ).alias("reciprocity"),
+        )
+    )
+
+
+SQL_RECIPROCITY = f"""{GRAPH_PREFIX},
+re AS MATERIALIZED (
+  SELECT DISTINCT src_conv_id AS u, dst_conv_id AS v FROM edges
+  WHERE src_conv_id != dst_conv_id
+),
+mm AS (SELECT count(*) AS n_mutual FROM re a
+       WHERE EXISTS (SELECT 1 FROM re b WHERE b.u = a.v AND b.v = a.u)),
+tt AS (SELECT count(*) AS n_edges FROM re)
+SELECT CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_mutual AS BIGINT) AS n_mutual,
+       round(CAST(n_mutual AS DOUBLE) / n_edges, 6) AS reciprocity
+FROM tt, mm"""
+
+
+NEG_K = 2
+NEG_BUCKETS = 64
+
+
+def q_negative_edges(spark, sf_dir):
+    """Link-prediction negative-edge sampling (operators/mltasks.py):
+    k deterministic non-adjacent candidates per vertex via the
+    two-level hash draw (bucket = h64(v) % B, within-bucket rank
+    window — never a global sort), verified by an anti-join against
+    the undirected edge set. The sample SET is bit-stable across
+    engines — exactly what a reproducible training corpus needs."""
+    from unarxive_spark.operators.mltasks import negative_edge_samples
+
+    return negative_edge_samples(
+        _edges(spark, sf_dir), k=NEG_K, n_buckets=NEG_BUCKETS
+    )
+
+
+def _sql_negative_edges() -> str:
+    b = NEG_BUCKETS
+    hv = h64_sql("cv")
+    hp = h64_sql("u || '#neg' || CAST(j AS VARCHAR)")
+    return f"""{GRAPH_PREFIX},
+allv AS MATERIALIZED (
+  SELECT src_conv_id AS cv FROM edges
+  UNION SELECT dst_conv_id FROM edges
+),
+nv AS MATERIALIZED (
+  SELECT v, b,
+         CAST(row_number() OVER (PARTITION BY b ORDER BY h, v) - 1
+              AS BIGINT) AS r
+  FROM (SELECT cv AS v, {hv} AS h, {hv} % {b} AS b FROM allv)
+),
+sz AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM nv GROUP BY 1),
+pv AS (
+  SELECT u, j, {hp} AS ph
+  FROM (SELECT cv AS u FROM allv),
+       LATERAL unnest(generate_series(1, {NEG_K})) AS s(j)
+),
+cand AS (
+  SELECT pv.u, nv.v, CAST(pv.j AS BIGINT) AS sample_idx
+  FROM pv
+  JOIN sz ON sz.b = pv.ph % {b}
+  JOIN nv ON nv.b = pv.ph % {b} AND nv.r = (pv.ph // {b}) % sz.n
+  WHERE nv.v != pv.u
+),
+und AS (
+  SELECT src_conv_id AS u, dst_conv_id AS v FROM edges
+  UNION SELECT dst_conv_id, src_conv_id FROM edges
+)
+SELECT u AS src_conv_id, v AS dst_conv_id, sample_idx
+FROM cand
+WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.u = cand.u AND und.v = cand.v)"""
+
+
+SQL_NEGATIVE_EDGES = _sql_negative_edges()
+
+
 GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_transcripts": q_transcripts,
     "q02_mine_refs": q_mine_refs,
@@ -2438,6 +2540,8 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q107_adamic_adar": q_adamic_adar,
     "q109_landmark_closeness": q_landmark_closeness,
     "q114_katz": q_katz,
+    "q118_reciprocity": q_reciprocity,
+    "q120_negative_edges": q_negative_edges,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
@@ -2490,4 +2594,6 @@ GRAPH_ORACLES: dict[str, str] = {
     "q107_adamic_adar": SQL_ADAMIC_ADAR,
     "q109_landmark_closeness": SQL_LANDMARK_CLOSENESS,
     "q114_katz": SQL_KATZ,
+    "q118_reciprocity": SQL_RECIPROCITY,
+    "q120_negative_edges": SQL_NEGATIVE_EDGES,
 }

@@ -2396,6 +2396,134 @@ WHERE NOT tgt GROUP BY 1"""
 SQL_DSIR_SCORES = _sql_dsir_scores()
 
 
+FUNNEL_MIN_TOKENS = 5
+FUNNEL_MAX_CHARS = 2000
+FUNNEL_MIN_QUALITY = 0.5
+FUNNEL_LANGS = ("de", "en", "es", "fr")
+
+
+def q_quality_funnel(spark, sf_dir):
+    """FineWeb-style quality-gate funnel audit: four sequential filter
+    rules (min tokens, max chars, quality score, language allowlist)
+    over documents, reporting n_in/n_rejected/n_out per rule — the
+    per-rule rejection accounting every corpus-prep pipeline publishes.
+    One row-local boolean pass + one aggregate; the 4-row output is
+    exploded from the single agg row (no second scan per rule)."""
+    d = _t(spark, sf_dir, "documents")
+    b1 = token_count("text") >= FUNNEL_MIN_TOKENS
+    b2 = F.col("n_chars") <= FUNNEL_MAX_CHARS
+    b3 = quality_score("text") >= FUNNEL_MIN_QUALITY
+    b4 = F.col("lang").isin(*FUNNEL_LANGS)
+    agg = d.select(
+        b1.alias("b1"), b2.alias("b2"), b3.alias("b3"), b4.alias("b4")
+    ).agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.sum(F.when(F.col("b1"), 1).otherwise(0)).alias("s1"),
+        F.sum(
+            F.when(F.col("b1") & F.col("b2"), 1).otherwise(0)
+        ).alias("s2"),
+        F.sum(
+            F.when(F.col("b1") & F.col("b2") & F.col("b3"), 1).otherwise(0)
+        ).alias("s3"),
+        F.sum(
+            F.when(
+                F.col("b1") & F.col("b2") & F.col("b3") & F.col("b4"), 1
+            ).otherwise(0)
+        ).alias("s4"),
+    )
+    rules = ("min_tokens", "max_chars", "quality", "lang")
+
+    def _row(i: int) -> F.Column:
+        return F.struct(
+            F.lit(i + 1).cast("long").alias("rule_idx"),
+            F.lit(rules[i]).alias("rule"),
+            F.col(f"s{i}").alias("n_in"),
+            (F.col(f"s{i}") - F.col(f"s{i + 1}")).alias("n_rejected"),
+            F.col(f"s{i + 1}").alias("n_out"),
+        )
+
+    return agg.select(
+        F.explode(F.array(*[_row(i) for i in range(4)])).alias("_r")
+    ).select("_r.*")
+
+
+def _sql_quality_funnel() -> str:
+    tc = token_count_sql("text")
+    qs = quality_score_sql("text")
+    langs = ", ".join(f"'{x}'" for x in FUNNEL_LANGS)
+    rows = []
+    rules = ("min_tokens", "max_chars", "quality", "lang")
+    for i, rule in enumerate(rules):
+        rows.append(
+            f"SELECT CAST({i + 1} AS BIGINT) AS rule_idx, '{rule}' AS rule,"
+            f" s{i} AS n_in, s{i} - s{i + 1} AS n_rejected,"
+            f" s{i + 1} AS n_out FROM f"
+        )
+    return f"""
+WITH b AS (
+  SELECT {tc} >= {FUNNEL_MIN_TOKENS} AS b1,
+         n_chars <= {FUNNEL_MAX_CHARS} AS b2,
+         {qs} >= {FUNNEL_MIN_QUALITY} AS b3,
+         lang IN ({langs}) AS b4
+  FROM documents
+),
+f AS (
+  SELECT CAST(count(*) AS BIGINT) AS s0,
+         CAST(sum(CASE WHEN b1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN b1 AND b2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         CAST(sum(CASE WHEN b1 AND b2 AND b3 THEN 1 ELSE 0 END)
+              AS BIGINT) AS s3,
+         CAST(sum(CASE WHEN b1 AND b2 AND b3 AND b4 THEN 1 ELSE 0 END)
+              AS BIGINT) AS s4
+  FROM b
+)
+{" UNION ALL ".join(rows)}"""
+
+
+SQL_QUALITY_FUNNEL = _sql_quality_funnel()
+
+
+PHRASE_N = 3
+
+
+def q_phrase_search(spark, sf_dir):
+    """Positional phrase search (operators/corpus.py): the corpus's
+    argmax 3-gram (tie → lexicographic min) and every (doc, position)
+    occurrence — the inverted positional index probe. Row-local gram
+    generation + two 1-row scalar aggregates + one broadcast join."""
+    from unarxive_spark.operators.corpus import top_phrase_occurrences
+
+    return top_phrase_occurrences(
+        _t(spark, sf_dir, "documents"), n=PHRASE_N
+    )
+
+
+def _sql_phrase_search() -> str:
+    tok = (
+        "list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+        "t -> t != '')"
+    )
+    n = PHRASE_N
+    return f"""
+WITH d AS (SELECT doc_id, {tok} AS toks FROM documents),
+g AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(list_slice(toks, i, i + {n} - 1), ' ') AS phrase
+  FROM d, LATERAL unnest(generate_series(1, len(toks) - {n} + 1)) AS s(i)
+  WHERE len(toks) >= {n}
+),
+c AS (SELECT phrase, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1),
+b AS (
+  SELECT min(phrase) AS phrase, max(c) AS n_total
+  FROM c WHERE c = (SELECT max(c) FROM c)
+)
+SELECT g.doc_id, g.pos, g.phrase, CAST(b.n_total AS BIGINT) AS n_total
+FROM g JOIN b ON g.phrase = b.phrase"""
+
+
+SQL_PHRASE_SEARCH = _sql_phrase_search()
+
+
 HLL_REGS = 64
 
 
@@ -3139,11 +3267,7 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_ivf_ann": q_ivf_ann,
     "q55_asof_join": q_asof_join,
     "q56_range_join": q_range_join,
-    "q67_cm_sketch": q_cm_sketch,
-    "q68_bloom_semijoin": q_bloom_semijoin,
     "q70_qdigest_state": q_qdigest_state,
-    "q71_qdigest_quantiles": q_qdigest_quantiles,
-    "q75_dedup_clusters": q_dedup_clusters,
     "q76_priority_sample": q_priority_sample,
     "q88_weighted_priority_sample": q_weighted_priority_sample,
     "q89_edit_distance_pairs": q_edit_distance_pairs,
@@ -3169,6 +3293,8 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q113_skipgram_pmi": q_skipgram_pmi,
     "q115_dsir_scores": q_dsir_scores,
     "q116_hll_distinct": q_hll_distinct,
+    "q117_quality_funnel": q_quality_funnel,
+    "q119_phrase_search": q_phrase_search,
     "q77_vocab_topk": q_vocab_topk,
     "q78_containment_pairs": q_containment_pairs,
     "q80_funnel": q_funnel,
@@ -3181,6 +3307,10 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_stratified_split": q_stratified_split,
     "q64_value_quantiles": q_value_quantiles,
     "q66_asof_chunked": q_asof_join_chunked,
+    "q67_cm_sketch": q_cm_sketch,
+    "q68_bloom_semijoin": q_bloom_semijoin,
+    "q71_qdigest_quantiles": q_qdigest_quantiles,
+    "q75_dedup_clusters": q_dedup_clusters,
 }
 
 TABULAR_ORACLES: dict[str, str] = {
@@ -3209,11 +3339,7 @@ TABULAR_ORACLES: dict[str, str] = {
     "q54_ivf_ann": SQL_IVF_ANN,
     "q55_asof_join": SQL_ASOF_JOIN,
     "q56_range_join": SQL_RANGE_JOIN,
-    "q67_cm_sketch": SQL_CM_SKETCH,
-    "q68_bloom_semijoin": SQL_BLOOM_SEMIJOIN,
     "q70_qdigest_state": SQL_QDIGEST_STATE,
-    "q71_qdigest_quantiles": SQL_QDIGEST_QUANTILES,
-    "q75_dedup_clusters": SQL_DEDUP_CLUSTERS,
     "q76_priority_sample": SQL_PRIORITY_SAMPLE,
     "q88_weighted_priority_sample": SQL_WEIGHTED_PRIORITY_SAMPLE,
     "q89_edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
@@ -3239,6 +3365,8 @@ TABULAR_ORACLES: dict[str, str] = {
     "q113_skipgram_pmi": SQL_SKIPGRAM_PMI,
     "q115_dsir_scores": SQL_DSIR_SCORES,
     "q116_hll_distinct": SQL_HLL_DISTINCT,
+    "q117_quality_funnel": SQL_QUALITY_FUNNEL,
+    "q119_phrase_search": SQL_PHRASE_SEARCH,
     "q77_vocab_topk": SQL_VOCAB_TOPK,
     "q78_containment_pairs": SQL_CONTAINMENT_PAIRS,
     "q80_funnel": SQL_FUNNEL,
@@ -3251,4 +3379,8 @@ TABULAR_ORACLES: dict[str, str] = {
     "q60_stratified_split": SQL_STRATIFIED_SPLIT,
     "q64_value_quantiles": SQL_VALUE_QUANTILES,
     "q66_asof_chunked": SQL_ASOF_JOIN,
+    "q67_cm_sketch": SQL_CM_SKETCH,
+    "q68_bloom_semijoin": SQL_BLOOM_SEMIJOIN,
+    "q71_qdigest_quantiles": SQL_QDIGEST_QUANTILES,
+    "q75_dedup_clusters": SQL_DEDUP_CLUSTERS,
 }
