@@ -113,7 +113,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #     green r4; the q-digest family keeps q70 in-cap and is pinned
 #     bit-for-bit by tests/test_qdigest.py; the pair→WCC→survivor
 #     machinery is pinned by the q75 pytest fixtures and its family
-#     re-evidenced in-cap by q110/q33-shape candidates).
+#     re-evidenced in-cap by q110/q33-shape candidates).  q121
+#     (association rules), q122 (cusum drift) and q124 (ewma anomaly)
+#     displace q53_lsh_ann, q54_ivf_ann and q55_asof_join (all green
+#     r4; the ANN family keeps q90/q98 in-cap, the as-of machinery is
+#     hypothesis-pinned vs pandas.merge_asof and shares its oracle
+#     string with q66 — all re-pinned every round by the parity suite).
+#     q123 (maximal matching) and q125 (influence spread) displace
+#     q51_core_numbers and q56_range_join (both green r4; the peeling
+#     superstep family keeps q62 k-truss in-cap, the bucketized range
+#     join is re-pinned by its NULL/span-guard pytests + parity suite).
 _DEFER_LAST = (
     "q01_transcripts",
     "q02_mine_refs",
@@ -171,6 +180,11 @@ _DEFER_LAST = (
     "q52_random_walks",
     "q76_priority_sample",
     "q70_qdigest_state",
+    "q53_lsh_ann",
+    "q54_ivf_ann",
+    "q55_asof_join",
+    "q51_core_numbers",
+    "q56_range_join",
 )
 
 

@@ -2488,6 +2488,125 @@ WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.u = cand.u AND und.v = cand.v)"""
 SQL_NEGATIVE_EDGES = _sql_negative_edges()
 
 
+MM_ROUNDS = 3
+
+
+def q_maximal_matching(spark, sf_dir):
+    """Greedy maximal matching (operators/matching.py): deterministic
+    h64-priority handshake supersteps — the edge-side sibling of q63's
+    MIS and the coarsening primitive of multilevel partitioners.
+    Fixed MM_ROUNDS handshake rounds in driver-oracle mode (truncation
+    identical to the unrolled SQL by construction; convergence mode is
+    pinned by the maximality pytest)."""
+    from unarxive_spark.operators.matching import maximal_matching
+
+    return maximal_matching(_edges(spark, sf_dir), fixed_rounds=MM_ROUNDS)
+
+
+def _sql_maximal_matching(rounds: int) -> str:
+    key = f"printf('%015x', {h64_sql('v', salt='mm|')}) || '|' || v"
+    parts = [
+        """mund AS MATERIALIZED (
+  SELECT src_conv_id AS u, dst_conv_id AS v FROM edges
+  WHERE src_conv_id != dst_conv_id
+  UNION
+  SELECT dst_conv_id, src_conv_id FROM edges
+  WHERE src_conv_id != dst_conv_id
+),
+ma0 AS MATERIALIZED (SELECT DISTINCT u AS cv FROM mund)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""ml{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM mund e
+  WHERE e.u IN (SELECT cv FROM ma{r - 1})
+    AND e.v IN (SELECT cv FROM ma{r - 1})
+),
+mp{r} AS MATERIALIZED (
+  SELECT u, substr(min({key}), 17) AS tgt FROM ml{r} GROUP BY 1
+),
+mm{r} AS MATERIALIZED (
+  SELECT l.u AS ca, l.tgt AS cb
+  FROM mp{r} l JOIN mp{r} r2 ON r2.u = l.tgt AND r2.tgt = l.u
+  WHERE l.u < l.tgt
+),
+ma{r} AS MATERIALIZED (
+  SELECT cv FROM ma{r - 1}
+  WHERE cv NOT IN (SELECT ca FROM mm{r})
+    AND cv NOT IN (SELECT cb FROM mm{r})
+)""")
+    finals = " UNION ALL ".join(
+        f"SELECT ca AS conv_a, cb AS conv_b, "
+        f"CAST({r - 1} AS BIGINT) AS round FROM mm{r}"
+        for r in range(1, rounds + 1)
+    )
+    ctes = ",\n".join(parts)
+    return f"{GRAPH_PREFIX},\n{ctes}\n{finals}"
+
+
+SQL_MAXIMAL_MATCHING = _sql_maximal_matching(MM_ROUNDS)
+
+
+IC_SIMS = 4
+IC_P_PERMILLE = 300
+IC_SEEDS = 4
+IC_HOPS = 4
+
+
+def q_influence_spread(spark, sf_dir):
+    """Independent-cascade influence spread (operators/influence.py):
+    Monte-Carlo over IC_SIMS simulations with deterministic h64 edge
+    coins, multi-source BFS from the IC_SEEDS min-h64 seeds, all sims
+    in ONE (sim, vertex)-keyed dataflow. Oracle: recursive-CTE
+    reachability over the identical hash-coined live-edge subgraphs."""
+    from unarxive_spark.operators.influence import ic_influence_spread
+
+    return ic_influence_spread(
+        _edges(spark, sf_dir),
+        n_sims=IC_SIMS,
+        p_permille=IC_P_PERMILLE,
+        n_seeds=IC_SEEDS,
+        hops=IC_HOPS,
+    )
+
+
+def _sql_influence_spread() -> str:
+    coin = h64_sql("u || '>' || v || '#ic' || CAST(sim_id AS VARCHAR)")
+    hseed = h64_sql("cv", salt="icseed|")
+    return f"""{GRAPH_PREFIX},
+ide AS MATERIALIZED (
+  SELECT DISTINCT src_conv_id AS u, dst_conv_id AS v FROM edges
+  WHERE src_conv_id != dst_conv_id
+),
+isims AS (SELECT CAST(s AS BIGINT) AS sim_id
+          FROM unnest(generate_series(0, {IC_SIMS - 1})) AS t(s)),
+ilive AS MATERIALIZED (
+  SELECT sim_id, u, v FROM ide, isims
+  WHERE {coin} % 1000 < {IC_P_PERMILLE}
+),
+iverts AS (SELECT u AS cv FROM ide UNION SELECT v FROM ide),
+iseeds AS (SELECT cv FROM iverts ORDER BY {hseed}, cv LIMIT {IC_SEEDS}),
+ir AS (
+  WITH RECURSIVE rr(sim_id, cv, d) AS (
+    SELECT sim_id, cv, 0 FROM iseeds, isims
+    UNION
+    SELECT rr.sim_id, e.v, rr.d + 1
+    FROM rr JOIN ilive e ON e.sim_id = rr.sim_id AND e.u = rr.cv
+    WHERE rr.d < {IC_HOPS}
+  ) SELECT DISTINCT sim_id, cv FROM rr
+),
+cl AS (SELECT sim_id, CAST(count(*) AS BIGINT) AS n_live_edges
+       FROM ilive GROUP BY 1),
+cr AS (SELECT sim_id, CAST(count(*) AS BIGINT) AS n_reached
+       FROM ir GROUP BY 1)
+SELECT s.sim_id,
+       coalesce(cl.n_live_edges, CAST(0 AS BIGINT)) AS n_live_edges,
+       coalesce(cr.n_reached, CAST(0 AS BIGINT)) AS n_reached
+FROM isims s LEFT JOIN cl USING (sim_id) LEFT JOIN cr USING (sim_id)"""
+
+
+SQL_INFLUENCE_SPREAD = _sql_influence_spread()
+
+
 GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_transcripts": q_transcripts,
     "q02_mine_refs": q_mine_refs,
@@ -2542,6 +2661,8 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q114_katz": q_katz,
     "q118_reciprocity": q_reciprocity,
     "q120_negative_edges": q_negative_edges,
+    "q123_maximal_matching": q_maximal_matching,
+    "q125_influence_spread": q_influence_spread,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
@@ -2596,4 +2717,6 @@ GRAPH_ORACLES: dict[str, str] = {
     "q114_katz": SQL_KATZ,
     "q118_reciprocity": SQL_RECIPROCITY,
     "q120_negative_edges": SQL_NEGATIVE_EDGES,
+    "q123_maximal_matching": SQL_MAXIMAL_MATCHING,
+    "q125_influence_spread": SQL_INFLUENCE_SPREAD,
 }

@@ -3241,6 +3241,153 @@ LEFT JOIN (SELECT event_id AS pid, user_id, ts, value FROM events
 GROUP BY 1, 2"""
 
 
+AR_MIN_ITEM = 5
+AR_MIN_PAIR = 2
+
+
+def q_association_rules(spark, sf_dir):
+    """A-priori 2-itemset association rules (operators/itemsets.py) over
+    order baskets: broadcast frequent-item prune, one basket-key
+    self-join, exact-integer support/confidence/lift. The co-occurrence
+    mining analog of the reference's co-citation statistics, generalized
+    to directed rules."""
+    from unarxive_spark.operators.itemsets import association_rules
+
+    return association_rules(
+        _t(spark, sf_dir, "lineitem"),
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        min_item_support=AR_MIN_ITEM,
+        min_pair_support=AR_MIN_PAIR,
+    )
+
+
+SQL_ASSOCIATION_RULES = f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS nb FROM b),
+ic AS (SELECT i, CAST(count(*) AS BIGINT) AS ic FROM b GROUP BY 1),
+fi AS MATERIALIZED (SELECT i, ic FROM ic WHERE ic >= {AR_MIN_ITEM}),
+pb AS MATERIALIZED (
+  SELECT bk, i FROM b WHERE i IN (SELECT i FROM fi)
+),
+pr AS (
+  SELECT l.i AS ia, r.i AS ib, CAST(count(*) AS BIGINT) AS pc
+  FROM pb l JOIN pb r ON l.bk = r.bk AND l.i < r.i
+  GROUP BY 1, 2 HAVING count(*) >= {AR_MIN_PAIR}
+),
+ru AS (
+  SELECT ia AS antecedent, ib AS consequent, pc FROM pr
+  UNION ALL
+  SELECT ib, ia, pc FROM pr
+)
+SELECT antecedent, consequent, pc AS support_cnt, a.ic AS antecedent_cnt,
+       round(CAST(pc AS DOUBLE) / a.ic, 6) AS confidence,
+       round(CAST(pc * nb.nb AS DOUBLE) / (a.ic * c.ic), 6) AS lift
+FROM ru JOIN fi a ON a.i = ru.antecedent
+        JOIN fi c ON c.i = ru.consequent, nb"""
+
+
+CUSUM_K_E6 = 60_000_000
+CUSUM_H_E6 = 200_000_000
+
+
+def q_cusum_drift(spark, sf_dir):
+    """One-sided CUSUM drift audit per user (operators/timeseries.py):
+    the max(0, S+x-k) recursion rewritten as running-sum minus running-
+    min — two stacked windows, exact int64 micro-units, no recursion."""
+    from unarxive_spark.operators.timeseries import cusum_drift
+
+    return cusum_drift(
+        _t(spark, sf_dir, "events"),
+        k_e6=CUSUM_K_E6,
+        h_e6=CUSUM_H_E6,
+    )
+
+
+SQL_CUSUM_DRIFT = f"""
+WITH s AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn,
+         sum(CAST(round(value * 1e6) AS BIGINT) - {CUSUM_K_E6})
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+  FROM events
+),
+t AS (
+  SELECT user_id, rn,
+         CAST(cum - least(CAST(0 AS BIGINT),
+                          min(cum) OVER (PARTITION BY user_id ORDER BY rn
+                                         ROWS UNBOUNDED PRECEDING))
+              AS BIGINT) AS s
+  FROM s
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       max(s) AS max_cusum_e6,
+       CAST(sum(CASE WHEN s > {CUSUM_H_E6} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_drift_events,
+       CAST(min(CASE WHEN s > {CUSUM_H_E6} THEN rn END) AS BIGINT)
+         AS first_drift_rn
+FROM t GROUP BY 1"""
+
+
+EWMA_WINDOW = 16
+EWMA_T_E6 = 150_000_000
+
+
+def q_ewma_anomaly(spark, sf_dir):
+    """Windowed alpha=1/2 EWMA smoothing + deviation anomalies per user
+    (operators/timeseries.py): power-of-two weights make numerator /
+    denominator exact int64; the anomaly predicate is an integer
+    cross-multiplication — bit-stable across engines. The oracle
+    reproduces the window as a bounded self-join (oracle-side only;
+    the engine is one collect_list window + one HOF fold)."""
+    from unarxive_spark.operators.timeseries import ewma_smooth
+
+    return ewma_smooth(
+        _t(spark, sf_dir, "events"),
+        window=EWMA_WINDOW,
+        anomaly_t_e6=EWMA_T_E6,
+    )
+
+
+SQL_EWMA_ANOMALY = f"""
+WITH s AS (
+  SELECT user_id, event_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS rn,
+         CAST(round(value * 1e6) AS BIGINT) AS x
+  FROM events
+),
+w AS (
+  SELECT a.user_id, a.event_id, a.rn, a.x AS x_e6,
+         sum(b.x * (CASE WHEN b.rn = greatest(1, a.rn - {EWMA_WINDOW - 1})
+                         THEN 1
+                         ELSE (CAST(1 AS BIGINT) <<
+                               CAST(b.rn - greatest(1, a.rn - {EWMA_WINDOW - 1}) - 1 AS INT))
+                    END)) AS ewma_num_h,
+         (CAST(1 AS BIGINT) <<
+          CAST(a.rn - greatest(1, a.rn - {EWMA_WINDOW - 1}) AS INT))
+           AS ewma_den
+  FROM s a JOIN s b
+    ON b.user_id = a.user_id
+   AND b.rn BETWEEN a.rn - {EWMA_WINDOW - 1} AND a.rn
+  GROUP BY 1, 2, 3, 4
+),
+wb AS (
+  SELECT user_id, event_id, rn, x_e6,
+         CAST(ewma_num_h AS BIGINT) AS ewma_num, ewma_den
+  FROM w
+)
+SELECT user_id, event_id, rn, x_e6, ewma_num, ewma_den,
+       CAST((2 * ewma_num + ewma_den) // (2 * ewma_den) AS BIGINT)
+         AS ewma_e6,
+       coalesce(abs(x_e6 * lag(ewma_den) OVER uw - lag(ewma_num) OVER uw)
+                > {EWMA_T_E6} * lag(ewma_den) OVER uw, FALSE) AS is_anomaly
+FROM wb
+WINDOW uw AS (PARTITION BY user_id ORDER BY rn)"""
+
+
 TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_pricing_summary": q_pricing_summary,
     "q21_revenue_by_nation": q_revenue_by_nation,
@@ -3295,6 +3442,9 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q116_hll_distinct": q_hll_distinct,
     "q117_quality_funnel": q_quality_funnel,
     "q119_phrase_search": q_phrase_search,
+    "q121_association_rules": q_association_rules,
+    "q122_cusum_drift": q_cusum_drift,
+    "q124_ewma_anomaly": q_ewma_anomaly,
     "q77_vocab_topk": q_vocab_topk,
     "q78_containment_pairs": q_containment_pairs,
     "q80_funnel": q_funnel,
@@ -3367,6 +3517,9 @@ TABULAR_ORACLES: dict[str, str] = {
     "q116_hll_distinct": SQL_HLL_DISTINCT,
     "q117_quality_funnel": SQL_QUALITY_FUNNEL,
     "q119_phrase_search": SQL_PHRASE_SEARCH,
+    "q121_association_rules": SQL_ASSOCIATION_RULES,
+    "q122_cusum_drift": SQL_CUSUM_DRIFT,
+    "q124_ewma_anomaly": SQL_EWMA_ANOMALY,
     "q77_vocab_topk": SQL_VOCAB_TOPK,
     "q78_containment_pairs": SQL_CONTAINMENT_PAIRS,
     "q80_funnel": SQL_FUNNEL,
