@@ -123,6 +123,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #     q51_core_numbers and q56_range_join (both green r4; the peeling
 #     superstep family keeps q62 k-truss in-cap, the bucketized range
 #     join is re-pinned by its NULL/span-guard pytests + parity suite).
+#     q126 (link-prediction AUC) displaces q72_weighted_walks (green
+#     r4; its weighted-rank machinery runs in-cap inside q73 node2vec
+#     and is re-pinned by the walks pytests + parity suite).  q127
+#     (bow-tie census) displaces q79_seeded_lpa (green r4; the
+#     label-flood family keeps q74 Louvain in-cap and the anchored
+#     NULL-until-reached semantics stay pinned by tests/test_graph_ops
+#     + the parity suite).  q128 (textrank keywords) displaces
+#     q86_clustering (green r4; its triangle machinery runs in-cap
+#     inside q62 k-truss support counts and stays re-pinned by the
+#     parity suite).  q129 (Borůvka MSF) displaces q63_mis (green r4;
+#     the hash-priority symmetry-breaking family keeps q123's
+#     handshake matching in-cap, and MIS stays pinned by its
+#     greedy-oracle pytests + the parity suite).
 _DEFER_LAST = (
     "q01_transcripts",
     "q02_mine_refs",
@@ -185,6 +198,10 @@ _DEFER_LAST = (
     "q55_asof_join",
     "q51_core_numbers",
     "q56_range_join",
+    "q72_weighted_walks",
+    "q79_seeded_lpa",
+    "q86_clustering",
+    "q63_mis",
 )
 
 

@@ -252,6 +252,62 @@ def extended_queries(spark) -> dict[str, float]:
         ("landmark_closeness", q_landmark_closeness),
     ):
         _, times[name] = _timed(lambda q=q: q(spark, SF_DIR).count())
+    # round-5 close block — fresh session again (katz/matching/influence
+    # are superstep loops; same localCheckpoint-pressure rationale)
+    stop_spark()
+    spark = get_spark(
+        master=f"local[{CPUS}]",
+        app_name="bench-ext5c",
+        shuffle_partitions=CPUS,
+    )
+    from unarxive_spark.plans.driver_queries import (
+        q_boruvka,
+        q_bowtie,
+        q_influence_spread,
+        q_katz,
+        q_link_prediction_auc,
+        q_maximal_matching,
+        q_negative_edges,
+        q_reciprocity,
+    )
+    from unarxive_spark.plans.tabular_queries import (
+        q_association_rules,
+        q_cusum_drift,
+        q_daily_concurrency,
+        q_dsir_scores,
+        q_ewma_anomaly,
+        q_hll_distinct,
+        q_phrase_search,
+        q_quality_funnel,
+        q_skipgram_pmi,
+        q_sorted_neighborhood,
+        q_state_history,
+        q_textrank_keywords,
+    )
+
+    for name, q in (
+        ("sorted_neighborhood", q_sorted_neighborhood),
+        ("daily_concurrency", q_daily_concurrency),
+        ("state_history", q_state_history),
+        ("skipgram_pmi", q_skipgram_pmi),
+        ("katz", q_katz),
+        ("dsir_scores", q_dsir_scores),
+        ("hll_distinct", q_hll_distinct),
+        ("quality_funnel", q_quality_funnel),
+        ("reciprocity", q_reciprocity),
+        ("phrase_search", q_phrase_search),
+        ("negative_edges", q_negative_edges),
+        ("association_rules", q_association_rules),
+        ("cusum_drift", q_cusum_drift),
+        ("maximal_matching", q_maximal_matching),
+        ("ewma_anomaly", q_ewma_anomaly),
+        ("influence_spread", q_influence_spread),
+        ("link_prediction_auc", q_link_prediction_auc),
+        ("textrank_keywords", q_textrank_keywords),
+        ("bowtie", q_bowtie),
+        ("boruvka_msf", q_boruvka),
+    ):
+        _, times[name] = _timed(lambda q=q: q(spark, SF_DIR).count())
     return times
 
 

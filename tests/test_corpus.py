@@ -645,3 +645,25 @@ def test_top_phrase_tie_breaks_lexicographically(spark):
     )
     out = top_phrase_occurrences(df, n=3).collect()
     assert len(out) == 1 and out[0].phrase == "a a a"
+
+
+def test_textrank_hub_word_ranks_first(spark):
+    """A word adjacent to every other word is the co-occurrence hub and
+    must out-rank the leaves (PageRank over the word graph)."""
+    from unarxive_spark.plans.tabular_queries import q_textrank_keywords
+    import os
+    import tempfile
+
+    rows = [
+        (1, "hub alpha hub beta hub gamma hub delta", "en", 40),
+        (2, "hub epsilon hub zeta", "en", 20),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, n_chars int"
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        out = q_textrank_keywords(spark, td).collect()
+    assert out[0].word == "hub"
+    assert {r.word for r in out} == {
+        "hub", "alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+    }

@@ -162,3 +162,35 @@ def test_influence_rejects_bad_params(spark):
     df = spark.createDataFrame([("a", "b")], SCHEMA)
     with pytest.raises(ValueError):
         ic_influence_spread(df, n_sims=0)
+
+
+def test_bowtie_census_planted_regions(spark):
+    from unarxive_spark.operators.bowtie import bowtie_census
+
+    # core 3-cycle {c1,c2,c3}; i1 -> core (IN); core -> o1 -> o2 (OUT);
+    # t1 -> i1 (also IN: reaches core through i1); x1 -> x2 disconnected
+    rows = [
+        ("c1", "c2"),
+        ("c2", "c3"),
+        ("c3", "c1"),
+        ("i1", "c1"),
+        ("c2", "o1"),
+        ("o1", "o2"),
+        ("t1", "i1"),
+        ("x1", "x2"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r.region: r.n_vertices for r in bowtie_census(df).collect()}
+    assert got == {"scc": 3, "in": 2, "out": 2, "other": 2}
+
+
+def test_bowtie_census_no_giant_ties_break_deterministically(spark):
+    from unarxive_spark.operators.bowtie import bowtie_census
+
+    # two 2-cycles of equal size: the giant is the min-component-id one
+    # ({a1,a2}, labeled a1) — the other 2-cycle neither reaches nor is
+    # reached, so it lands in 'other'
+    rows = [("a1", "a2"), ("a2", "a1"), ("b1", "b2"), ("b2", "b1")]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r.region: r.n_vertices for r in bowtie_census(df).collect()}
+    assert got == {"scc": 2, "in": 0, "out": 0, "other": 2}

@@ -315,3 +315,84 @@ def test_negative_edge_samples_contract_errors(spark):
         negative_edge_samples(e, k=0)
     with _pytest.raises(ValueError):
         negative_edge_samples(e, n_buckets=0)
+
+
+def _brute_auc(edge_rows, neg_pairs, max_degree=100):
+    """Independent python AUC: brute AA scores + pairwise rank stat."""
+    import math
+
+    und = {(u, v) for u, v in edge_rows if u != v}
+    und |= {(v, u) for u, v in und}
+    nbr = {}
+    for u, v in und:
+        nbr.setdefault(u, set()).add(v)
+    kept = {u for u, ns in nbr.items() if len(ns) <= max_degree}
+    w = {
+        u: round(1e9 / math.log(len(nbr[u])))
+        for u in kept
+        if len(nbr[u]) >= 2
+    }
+
+    def score(a, b):
+        common = (nbr.get(a, set()) & nbr.get(b, set())) & set(w)
+        return sum(w[u] for u in common)
+
+    pos = {(min(u, v), max(u, v)) for u, v in edge_rows if u != v}
+    ps = [score(a, b) for a, b in pos]
+    ns_ = [score(a, b) for a, b in neg_pairs]
+    u2 = sum(
+        2 * sum(1 for n in ns_ if n < p) + sum(1 for n in ns_ if n == p)
+        for p in ps
+    )
+    den = 2 * len(ps) * len(ns_)
+    return (
+        len(ps),
+        len(ns_),
+        u2,
+        (1_000_000 * u2 + len(ps) * len(ns_)) // den,
+    )
+
+
+def test_link_prediction_auc_matches_brute_force(spark):
+    import random
+
+    from unarxive_spark.operators.mltasks import (
+        link_prediction_auc,
+        negative_edge_samples,
+    )
+
+    rng = random.Random(5)
+    rows = list(
+        {
+            (f"v{rng.randrange(30)}", f"v{rng.randrange(30)}")
+            for _ in range(120)
+        }
+    )
+    rows = [(u, v) for u, v in rows if u != v]
+    e = spark.createDataFrame(rows, "src_conv_id string, dst_conv_id string")
+    neg = {
+        (min(r.src_conv_id, r.dst_conv_id), max(r.src_conv_id, r.dst_conv_id))
+        for r in negative_edge_samples(e, k=2, n_buckets=8).collect()
+    }
+    got = link_prediction_auc(e, k_negatives=2, n_buckets=8).collect()[0]
+    assert (
+        got.n_pos,
+        got.n_neg,
+        got.u2,
+        got.auc_e6,
+    ) == _brute_auc(rows, neg)
+
+
+def test_link_prediction_auc_separates_planted_cliques(spark):
+    from unarxive_spark.operators.mltasks import link_prediction_auc
+
+    # two 8-cliques: real edges have many common neighbors (high AA);
+    # the sampled cross/non-edges have none -> AUC must be high
+    clique = lambda p, n: [  # noqa: E731
+        (f"{p}{i}", f"{p}{j}") for i in range(n) for j in range(i + 1, n)
+    ]
+    rows = clique("a", 8) + clique("b", 8)
+    e = spark.createDataFrame(rows, "src_conv_id string, dst_conv_id string")
+    got = link_prediction_auc(e, k_negatives=3, n_buckets=4).collect()[0]
+    assert got.n_pos == 56 and got.n_neg > 0
+    assert got.auc_e6 >= 900_000

@@ -234,3 +234,36 @@ def test_round5_continuation_plans_have_no_quadratic_joins(spark):
     assert "BatchEvalPython" not in plan
     # the only nested-loop is the broadcast 1-row n_types scalar
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_round5_close_plans_have_no_quadratic_joins(spark):
+    """q121-q129 additions keep the discipline: association-rule pairs
+    join on the basket key, CUSUM/EWMA are pure windows, matching /
+    influence / Borůvka supersteps are hash equi-joins, the AUC rank
+    statistic joins on the score key. The only nested-loops are the
+    accepted broadcast 1-row scalars (n_baskets, the sim dimension,
+    the AUC denominators)."""
+    from unarxive_spark.operators.boruvka import boruvka_forest
+    from unarxive_spark.operators.influence import ic_influence_spread
+    from unarxive_spark.operators.itemsets import association_rules
+    from unarxive_spark.operators.matching import maximal_matching
+    from unarxive_spark.operators.mltasks import link_prediction_auc
+    from unarxive_spark.operators.timeseries import cusum_drift, ewma_smooth
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    edges = build_edges(transcripts_from_events(spark, SF))
+
+    for df, nl_budget in (
+        (association_rules(li, "l_orderkey", "l_partkey"), 1),
+        (cusum_drift(ev), 0),
+        (ewma_smooth(ev), 0),
+        (maximal_matching(edges, fixed_rounds=1), 0),
+        (ic_influence_spread(edges, n_sims=2, hops=1), 0),
+        (link_prediction_auc(edges), 1),
+        (boruvka_forest(edges, fixed_rounds=1), 0),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") <= nl_budget, plan

@@ -438,3 +438,91 @@ def negative_edge_samples(
         .distinct()
     )
     return cand.join(und, [src_col, dst_col], "left_anti")
+
+
+def link_prediction_auc(
+    edges: DataFrame,
+    k_negatives: int = 2,
+    n_buckets: int = 64,
+    max_degree: int | None = 100,
+) -> DataFrame:
+    """Exact Mann-Whitney AUC of Adamic-Adar scores: positives = the
+    real undirected edges, negatives = the deterministic non-adjacent
+    sample (:func:`negative_edge_samples`) — the standard link-
+    prediction evaluation, computed WITHOUT a quadratic pos×neg join.
+
+    AUC = P(score_pos > score_neg) + P(=)/2.  Both sides score through
+    the same integer Adamic-Adar table (pairs absent from it score 0),
+    then the rank statistic is assembled from the DISTINCT-SCORE table:
+    per score s, ``neg_less(s)`` is a prefix sum over the (tiny)
+    ordered distinct scores and ``2U = Σ_s cp(s)·(2·neg_less(s) +
+    cn(s))`` — every term an exact int64, so the DuckDB oracle replays
+    bit-for-bit.  Returns ONE row: ``n_pos, n_neg, u2 (= 2U), auc_e6``
+    (half-up integer rounding of U/(n_pos·n_neg) at 1e6 scale).
+
+    100-TB shape: the only data-sized shuffles are the AA wedge join
+    (hub-capped) and two groupBys on score; the distinct-score table a
+    window runs over is bounded by the score domain, not the data.
+    The final scalar ``1e6·2U`` fits int64 up to n_pos·n_neg ≈ 9e12 —
+    beyond that, split the multiply (documented, not silently wrong:
+    the expression raises on overflow in both engines).
+    """
+    from unarxive_spark.operators.cocitation import adamic_adar
+
+    aa = adamic_adar(edges, min_shared=1, max_degree=max_degree).select(
+        "a", "b", F.col("aa_e9").alias("_s")
+    )
+    pos = (
+        edges.filter(F.col("src_conv_id") != F.col("dst_conv_id"))
+        .select(
+            F.least("src_conv_id", "dst_conv_id").alias("a"),
+            F.greatest("src_conv_id", "dst_conv_id").alias("b"),
+        )
+        .distinct()
+    )
+    neg = (
+        negative_edge_samples(edges, k=k_negatives, n_buckets=n_buckets)
+        .select(
+            F.least("src_conv_id", "dst_conv_id").alias("a"),
+            F.greatest("src_conv_id", "dst_conv_id").alias("b"),
+        )
+        .distinct()
+    )
+    zero = F.lit(0).cast("long")
+    pos_s = pos.join(aa, ["a", "b"], "left").select(
+        F.coalesce("_s", zero).alias("s")
+    )
+    neg_s = neg.join(aa, ["a", "b"], "left").select(
+        F.coalesce("_s", zero).alias("s")
+    )
+    cp = pos_s.groupBy("s").agg(F.count(F.lit(1)).alias("cp"))
+    cn = neg_s.groupBy("s").agg(F.count(F.lit(1)).alias("cn"))
+    st = cp.join(cn, "s", "full").select(
+        "s",
+        F.coalesce("cp", zero).alias("cp"),
+        F.coalesce("cn", zero).alias("cn"),
+    )
+    w = (
+        Window.orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = st.select(
+        "cp",
+        "cn",
+        (F.sum("cn").over(w) - F.col("cn")).alias("neg_less"),
+    )
+    agg = ranked.agg(
+        F.sum("cp").alias("n_pos"),
+        F.sum("cn").alias("n_neg"),
+        F.sum(
+            F.col("cp") * (2 * F.col("neg_less") + F.col("cn"))
+        ).alias("u2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        F.expr(
+            "(1000000 * u2 + n_pos * n_neg) div (2 * n_pos * n_neg)"
+        ).alias("auc_e6"),
+    )

@@ -2448,12 +2448,12 @@ def q_negative_edges(spark, sf_dir):
     )
 
 
-def _sql_negative_edges() -> str:
+def _neg_ctes() -> str:
+    """Shared negative-sample CTE chain (q120 + the q126 AUC oracle)."""
     b = NEG_BUCKETS
     hv = h64_sql("cv")
     hp = h64_sql("u || '#neg' || CAST(j AS VARCHAR)")
-    return f"""{GRAPH_PREFIX},
-allv AS MATERIALIZED (
+    return f"""allv AS MATERIALIZED (
   SELECT src_conv_id AS cv FROM edges
   UNION SELECT dst_conv_id FROM edges
 ),
@@ -2479,7 +2479,12 @@ cand AS (
 und AS (
   SELECT src_conv_id AS u, dst_conv_id AS v FROM edges
   UNION SELECT dst_conv_id, src_conv_id FROM edges
-)
+)"""
+
+
+def _sql_negative_edges() -> str:
+    return f"""{GRAPH_PREFIX},
+{_neg_ctes()}
 SELECT u AS src_conv_id, v AS dst_conv_id, sample_idx
 FROM cand
 WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.u = cand.u AND und.v = cand.v)"""
@@ -2607,6 +2612,227 @@ FROM isims s LEFT JOIN cl USING (sim_id) LEFT JOIN cr USING (sim_id)"""
 SQL_INFLUENCE_SPREAD = _sql_influence_spread()
 
 
+AUC_NEG_K = NEG_K
+AUC_MAX_DEGREE = 100
+
+
+def q_link_prediction_auc(spark, sf_dir):
+    """Exact Mann-Whitney AUC of Adamic-Adar link-prediction scores
+    (operators/mltasks.py): positives = real undirected edges,
+    negatives = q120's deterministic non-adjacent sample, rank
+    statistic assembled from the distinct-score table — the standard
+    ML-eval metric as one exact-integer row, no quadratic pos x neg
+    join. Oracle replays the identical 2U arithmetic."""
+    from unarxive_spark.operators.mltasks import link_prediction_auc
+
+    return link_prediction_auc(
+        _edges(spark, sf_dir),
+        k_negatives=AUC_NEG_K,
+        n_buckets=NEG_BUCKETS,
+        max_degree=AUC_MAX_DEGREE,
+    )
+
+
+def _sql_link_prediction_auc() -> str:
+    return f"""{GRAPH_PREFIX},
+{_neg_ctes()},
+negp AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM cand
+  WHERE NOT EXISTS (SELECT 1 FROM und
+                    WHERE und.u = cand.u AND und.v = cand.v)
+),
+posp AS (
+  SELECT DISTINCT least(src_conv_id, dst_conv_id) AS a,
+                  greatest(src_conv_id, dst_conv_id) AS b
+  FROM edges WHERE src_conv_id != dst_conv_id
+),
+anbr0 AS (SELECT DISTINCT u, v FROM und WHERE u != v),
+anbr AS (SELECT * FROM anbr0 WHERE u IN (
+           SELECT u FROM anbr0 GROUP BY 1
+           HAVING count(*) <= {AUC_MAX_DEGREE})),
+aw AS (SELECT u, CAST(round(1e9 / ln(count(*))) AS BIGINT) AS w_e9
+       FROM anbr GROUP BY 1 HAVING count(*) >= 2),
+awn AS (SELECT anbr.u, anbr.v, aw.w_e9 FROM anbr JOIN aw ON anbr.u = aw.u),
+aap AS MATERIALIZED (
+  SELECT l.v AS a, r.v AS b, CAST(sum(l.w_e9) AS BIGINT) AS s
+  FROM awn l JOIN awn r ON l.u = r.u AND l.v < r.v
+  GROUP BY 1, 2
+),
+ps AS (SELECT coalesce(aap.s, CAST(0 AS BIGINT)) AS s
+       FROM posp LEFT JOIN aap ON aap.a = posp.a AND aap.b = posp.b),
+ns AS (SELECT coalesce(aap.s, CAST(0 AS BIGINT)) AS s
+       FROM negp LEFT JOIN aap ON aap.a = negp.a AND aap.b = negp.b),
+cpt AS (SELECT s, CAST(count(*) AS BIGINT) AS cp FROM ps GROUP BY 1),
+cnt AS (SELECT s, CAST(count(*) AS BIGINT) AS cn FROM ns GROUP BY 1),
+stt AS (
+  SELECT coalesce(cpt.s, cnt.s) AS s,
+         coalesce(cp, CAST(0 AS BIGINT)) AS cp,
+         coalesce(cn, CAST(0 AS BIGINT)) AS cn
+  FROM cpt FULL JOIN cnt ON cpt.s = cnt.s
+),
+rk AS (
+  SELECT cp, cn,
+         CAST(sum(cn) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) - cn
+              AS BIGINT) AS neg_less
+  FROM stt
+),
+ag AS (
+  SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+         CAST(sum(cn) AS BIGINT) AS n_neg,
+         CAST(sum(cp * (2 * neg_less + cn)) AS BIGINT) AS u2
+  FROM rk
+)
+SELECT n_pos, n_neg, u2,
+       CAST((1000000 * u2 + n_pos * n_neg) // (2 * n_pos * n_neg)
+            AS BIGINT) AS auc_e6
+FROM ag"""
+
+
+SQL_LINK_PREDICTION_AUC = _sql_link_prediction_auc()
+
+
+def q_bowtie(spark, sf_dir):
+    """Bow-tie decomposition (Broder 2000, operators/bowtie.py): the
+    four-region census around the giant SCC — core / IN / OUT / other.
+    Engine: SCC labels + two exact BFS fixpoints from the core; oracle:
+    unbounded recursive-CTE closure, so both sides are exact (no hop
+    truncation)."""
+    from unarxive_spark.operators.bowtie import bowtie_census
+
+    return bowtie_census(_edges(spark, sf_dir))
+
+
+SQL_BOWTIE = f"""{GRAPH_PREFIX},
+bde AS MATERIALIZED (
+  SELECT DISTINCT src_conv_id AS u, dst_conv_id AS v FROM edges
+  WHERE src_conv_id != dst_conv_id
+),
+bverts AS MATERIALIZED (SELECT u AS conv_id FROM bde UNION SELECT v FROM bde),
+breach AS MATERIALIZED (
+  WITH RECURSIVE r(u, v) AS (
+    SELECT conv_id, conv_id FROM bverts
+    UNION
+    SELECT r.u, e.v FROM r JOIN bde e ON e.u = r.v
+  ) SELECT * FROM r
+),
+bscc AS MATERIALIZED (
+  SELECT a.u AS conv_id, min(a.v) AS comp
+  FROM breach a JOIN breach b ON a.u = b.v AND a.v = b.u
+  GROUP BY 1
+),
+bgiant AS (
+  SELECT comp FROM (SELECT comp, count(*) AS n FROM bscc GROUP BY 1)
+  ORDER BY n DESC, comp ASC LIMIT 1
+),
+bcore AS MATERIALIZED (
+  SELECT conv_id FROM bscc WHERE comp = (SELECT comp FROM bgiant)
+),
+bin_ AS (SELECT DISTINCT r.u AS conv_id
+         FROM breach r JOIN bcore c ON r.v = c.conv_id),
+bout AS (SELECT DISTINCT r.v AS conv_id
+         FROM breach r JOIN bcore c ON r.u = c.conv_id),
+blab AS (
+  SELECT CASE WHEN conv_id IN (SELECT conv_id FROM bcore) THEN 'scc'
+              WHEN conv_id IN (SELECT conv_id FROM bin_) THEN 'in'
+              WHEN conv_id IN (SELECT conv_id FROM bout) THEN 'out'
+              ELSE 'other' END AS region
+  FROM bverts
+),
+bc AS (SELECT region, CAST(count(*) AS BIGINT) AS n_vertices
+       FROM blab GROUP BY 1)
+SELECT rg.region, coalesce(bc.n_vertices, CAST(0 AS BIGINT)) AS n_vertices
+FROM (VALUES ('scc'), ('in'), ('out'), ('other')) AS rg(region)
+LEFT JOIN bc ON bc.region = rg.region"""
+
+
+BV_ROUNDS = 3
+BV_JUMPS = 6
+
+
+def q_boruvka(spark, sf_dir):
+    """Borůvka minimum spanning forest (operators/boruvka.py): per-
+    component argmin edge by the total-order composite key + hash-min
+    contraction supersteps. Fixed BV_ROUNDS rounds in driver-oracle
+    mode (an empty round is a fixpoint, so truncation is identical);
+    convergence mode + the full-forest invariants are pinned by the
+    python-replay pytests."""
+    from unarxive_spark.operators.boruvka import boruvka_forest
+
+    return boruvka_forest(_edges(spark, sf_dir), fixed_rounds=BV_ROUNDS)
+
+
+def _sql_boruvka(rounds: int, jumps: int) -> str:
+    parts = [
+        """bp AS MATERIALIZED (
+  SELECT a, b, CAST(SUM(weight) AS BIGINT) AS w,
+         lpad(CAST(CAST(SUM(weight) AS BIGINT) AS VARCHAR), 12, '0')
+           || '|' || a || '|' || b AS k
+  FROM (SELECT least(src_conv_id, dst_conv_id) AS a,
+               greatest(src_conv_id, dst_conv_id) AS b, weight
+        FROM edges WHERE src_conv_id != dst_conv_id)
+  GROUP BY 1, 2
+),
+bl0 AS MATERIALIZED (
+  SELECT conv_id, conv_id AS comp
+  FROM (SELECT a AS conv_id FROM bp UNION SELECT b FROM bp)
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""bie{r} AS MATERIALIZED (
+  SELECT p.a, p.b, p.w, p.k, la.comp AS ca, lb.comp AS cb
+  FROM bp p JOIN bl{r - 1} la ON la.conv_id = p.a
+            JOIN bl{r - 1} lb ON lb.conv_id = p.b
+  WHERE la.comp != lb.comp
+),
+bck{r} AS MATERIALIZED (
+  SELECT DISTINCT k FROM (
+    SELECT c, min(k) AS k FROM (
+      SELECT ca AS c, k FROM bie{r} UNION ALL SELECT cb, k FROM bie{r}
+    ) GROUP BY c)
+),
+bch{r} AS MATERIALIZED (
+  SELECT e.a, e.b, e.w, e.ca, e.cb FROM bie{r} e JOIN bck{r} USING (k)
+),
+bcg{r} AS MATERIALIZED (
+  SELECT ca AS x, cb AS y FROM bch{r} UNION SELECT cb, ca FROM bch{r}
+),
+bj{r}_0 AS MATERIALIZED (
+  SELECT DISTINCT comp AS x, comp AS lab FROM bl{r - 1}
+)""")
+        for t in range(1, jumps + 1):
+            parts.append(f"""bj{r}_{t} AS MATERIALIZED (
+  SELECT x, min(lab) AS lab FROM (
+    SELECT x, lab FROM bj{r}_{t - 1}
+    UNION ALL
+    SELECT g.x, j.lab FROM bcg{r} g JOIN bj{r}_{t - 1} j ON j.x = g.y
+  ) GROUP BY 1
+)""")
+        parts.append(f"""bl{r} AS MATERIALIZED (
+  SELECT l.conv_id, j.lab AS comp
+  FROM bl{r - 1} l JOIN bj{r}_{jumps} j ON j.x = l.comp
+)""")
+    finals = [
+        f"SELECT a AS conv_a, b AS conv_b, w, "
+        f"CAST({r - 1} AS BIGINT) AS round FROM bch{r}"
+        for r in range(1, rounds + 1)
+    ]
+    # FIXPOINT SENTINEL: the jump unroll must have converged — a poison
+    # row (type-matched) appears if the last two label tables differ
+    finals += [
+        f"SELECT 'CONTRACTION NOT CONVERGED', 'round {r}', "
+        f"CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) "
+        f"WHERE EXISTS (SELECT 1 FROM bj{r}_{jumps} sa "
+        f"JOIN bj{r}_{jumps - 1} sb ON sa.x = sb.x "
+        f"AND sa.lab != sb.lab)"
+        for r in range(1, rounds + 1)
+    ]
+    ctes = ",\n".join(parts)
+    return f"{GRAPH_PREFIX},\n{ctes}\n{' UNION ALL '.join(finals)}"
+
+
+SQL_BORUVKA = _sql_boruvka(BV_ROUNDS, BV_JUMPS)
+
+
 GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_transcripts": q_transcripts,
     "q02_mine_refs": q_mine_refs,
@@ -2663,6 +2889,9 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q120_negative_edges": q_negative_edges,
     "q123_maximal_matching": q_maximal_matching,
     "q125_influence_spread": q_influence_spread,
+    "q126_link_prediction_auc": q_link_prediction_auc,
+    "q127_bowtie": q_bowtie,
+    "q129_boruvka_msf": q_boruvka,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
@@ -2719,4 +2948,7 @@ GRAPH_ORACLES: dict[str, str] = {
     "q120_negative_edges": SQL_NEGATIVE_EDGES,
     "q123_maximal_matching": SQL_MAXIMAL_MATCHING,
     "q125_influence_spread": SQL_INFLUENCE_SPREAD,
+    "q126_link_prediction_auc": SQL_LINK_PREDICTION_AUC,
+    "q127_bowtie": SQL_BOWTIE,
+    "q129_boruvka_msf": SQL_BORUVKA,
 }

@@ -3388,6 +3388,110 @@ FROM wb
 WINDOW uw AS (PARTITION BY user_id ORDER BY rn)"""
 
 
+TR_ITERS = 10
+TR_TOPK = 20
+
+
+def q_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word co-occurrence graph (adjacent-token pairs, symmetric
+    integer counts) — the flagship superstep machinery re-applied to a
+    text-derived graph. Fixed TR_ITERS supersteps, scores rounded to
+    1e-6, top-TR_TOPK by (rounded rank DESC, word ASC)."""
+    from unarxive_spark.operators.pagerank import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda t: t != "",
+    )
+    grams = d.select(toks.alias("_toks")).filter(
+        F.size("_toks") >= 2
+    ).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_toks) - 1), "
+                "i -> struct(_toks[i - 1] AS w1, _toks[i] AS w2))"
+            )
+        ).alias("g")
+    ).select("g.w1", "g.w2").filter(F.col("w1") != F.col("w2"))
+    edges = (
+        grams.select(F.col("w1").alias("u"), F.col("w2").alias("v"))
+        .unionByName(
+            grams.select(F.col("w2").alias("u"), F.col("w1").alias("v"))
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+        .select(
+            F.col("u").alias("src_conv_id"),
+            F.col("v").alias("dst_conv_id"),
+            "weight",
+        )
+    )
+    res = pagerank(edges, damping=0.85, tol=-1.0, max_iter=TR_ITERS)
+    return (
+        res.ranks.select(
+            F.col("conv_id").alias("word"),
+            F.round("rank", 6).alias("rank"),
+        )
+        .orderBy(F.desc("rank"), F.asc("word"))
+        .limit(TR_TOPK)
+    )
+
+
+def _sql_textrank() -> str:
+    tok = (
+        "list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+        "t -> t != '')"
+    )
+    return f"""
+WITH dt AS (SELECT {tok} AS toks FROM documents),
+tg AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM dt, LATERAL unnest(generate_series(1, len(toks) - 1)) AS s(i)
+  WHERE len(toks) >= 2 AND toks[i] != toks[i + 1]
+),
+te AS MATERIALIZED (
+  SELECT u, v, CAST(count(*) AS DOUBLE) AS weight FROM (
+    SELECT w1 AS u, w2 AS v FROM tg
+    UNION ALL
+    SELECT w2, w1 FROM tg
+  ) GROUP BY 1, 2
+),
+tverts AS (SELECT u AS w FROM te UNION SELECT v FROM te),
+tn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tverts),
+tout AS (SELECT u, SUM(weight) AS ow FROM te GROUP BY 1),
+tnorm AS (SELECT te.u AS src, te.v AS dst, weight / ow AS p
+          FROM te JOIN tout ON te.u = tout.u),
+tdang AS (SELECT w FROM tverts
+          WHERE w NOT IN (SELECT u FROM te)),
+taug AS (
+  SELECT src, dst, p FROM tnorm
+  UNION ALL
+  SELECT d.w, v.w, 1e0 / (SELECT n FROM tn)
+  FROM tdang d CROSS JOIN tverts v
+  UNION ALL
+  SELECT w, w, 0e0 FROM tverts
+),
+tpr AS (
+  WITH RECURSIVE prr(iter, w, rank) AS (
+    SELECT 0, w, 1e0 / (SELECT n FROM tn) FROM tverts
+    UNION ALL
+    SELECT iter + 1, a.dst,
+           0.15e0 / (SELECT n FROM tn) + 0.85e0 * SUM(a.p * prr.rank)
+    FROM prr JOIN taug a ON a.src = prr.w
+    WHERE iter < {TR_ITERS}
+    GROUP BY 1, 2
+  ) SELECT * FROM prr
+)
+SELECT w AS word, round(rank, 6) AS rank FROM tpr
+WHERE iter = {TR_ITERS}
+ORDER BY round(rank, 6) DESC, word ASC LIMIT {TR_TOPK}"""
+
+
+SQL_TEXTRANK = _sql_textrank()
+
+
 TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_pricing_summary": q_pricing_summary,
     "q21_revenue_by_nation": q_revenue_by_nation,
@@ -3445,6 +3549,7 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q121_association_rules": q_association_rules,
     "q122_cusum_drift": q_cusum_drift,
     "q124_ewma_anomaly": q_ewma_anomaly,
+    "q128_textrank_keywords": q_textrank_keywords,
     "q77_vocab_topk": q_vocab_topk,
     "q78_containment_pairs": q_containment_pairs,
     "q80_funnel": q_funnel,
@@ -3520,6 +3625,7 @@ TABULAR_ORACLES: dict[str, str] = {
     "q121_association_rules": SQL_ASSOCIATION_RULES,
     "q122_cusum_drift": SQL_CUSUM_DRIFT,
     "q124_ewma_anomaly": SQL_EWMA_ANOMALY,
+    "q128_textrank_keywords": SQL_TEXTRANK,
     "q77_vocab_topk": SQL_VOCAB_TOPK,
     "q78_containment_pairs": SQL_CONTAINMENT_PAIRS,
     "q80_funnel": SQL_FUNNEL,
