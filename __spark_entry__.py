@@ -135,7 +135,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #     parity suite).  q129 (Borůvka MSF) displaces q63_mis (green r4;
 #     the hash-priority symmetry-breaking family keeps q123's
 #     handshake matching in-cap, and MIS stays pinned by its
-#     greedy-oracle pytests + the parity suite).
+#     greedy-oracle pytests + the parity suite).  q130 (triad census)
+#     displaces q85_assortativity (green r4; its one-join + corr-agg
+#     shape is re-pinned every round by the parity suite, and the
+#     degree-moment machinery is in-cap via q13-family stats rows).
 _DEFER_LAST = (
     "q01_transcripts",
     "q02_mine_refs",
@@ -202,6 +205,7 @@ _DEFER_LAST = (
     "q79_seeded_lpa",
     "q86_clustering",
     "q63_mis",
+    "q85_assortativity",
 )
 
 

@@ -263,6 +263,7 @@ def extended_queries(spark) -> dict[str, float]:
     from unarxive_spark.plans.driver_queries import (
         q_boruvka,
         q_bowtie,
+        q_triad_census,
         q_influence_spread,
         q_katz,
         q_link_prediction_auc,
@@ -306,6 +307,7 @@ def extended_queries(spark) -> dict[str, float]:
         ("textrank_keywords", q_textrank_keywords),
         ("bowtie", q_bowtie),
         ("boruvka_msf", q_boruvka),
+        ("triad_census", q_triad_census),
     ):
         _, times[name] = _timed(lambda q=q: q(spark, SF_DIR).count())
     return times

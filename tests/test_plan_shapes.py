@@ -267,3 +267,21 @@ def test_round5_close_plans_have_no_quadratic_joins(spark):
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
         assert plan.count("BroadcastNestedLoopJoin") <= nl_budget, plan
+
+
+def test_triad_census_avoids_triple_enumeration(spark):
+    """The census engine plan is wedge joins — no CartesianProduct,
+    no nested-loop beyond the accepted broadcast 1-row scalars
+    (vertex count, total), no Python."""
+    from unarxive_spark.operators.triads import triad_census
+
+    edges = build_edges(transcripts_from_events(spark, SF))
+    # eager=False keeps the real dataflow visible (no localCheckpoint)
+    plan = _plan(triad_census(edges, eager=False))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # the only nested-loops are broadcast 1-ROW scalars: singles ×
+    # vertex-count, nulls × (n, total) — and the singles node appears
+    # twice in the tree (it feeds both the total and the final union)
+    assert plan.count("BroadcastNestedLoopJoin") <= 4, plan
+    assert "Exchange" in plan  # it is a real distributed dataflow

@@ -2833,6 +2833,66 @@ bj{r}_0 AS MATERIALIZED (
 SQL_BORUVKA = _sql_boruvka(BV_ROUNDS, BV_JUMPS)
 
 
+def q_triad_census(spark, sf_dir):
+    """Directed triad census (operators/triads.py): the 16-type
+    Holland-Leinhardt motif spectrum. Engine = Batagelj-Mrvar wedge
+    joins (only >= 2-linked-dyad triples classified explicitly, the
+    rest pure arithmetic); oracle = brute-force C(n,3) enumeration on
+    the capped test domain — affordable for DuckDB, never the engine's
+    plan."""
+    from unarxive_spark.operators.triads import triad_census
+
+    return triad_census(_edges(spark, sf_dir))
+
+
+def _sql_triad_census() -> str:
+    from unarxive_spark.operators.triads import (
+        TRIAD_TYPES,
+        canonical_sql_expr,
+    )
+
+    dim = ", ".join(
+        f"({c}, '{t}')" for c, t in sorted(TRIAD_TYPES.items())
+    )
+    canon = canonical_sql_expr("code", "duck")
+    return f"""{GRAPH_PREFIX},
+tde AS MATERIALIZED (
+  SELECT DISTINCT src_conv_id AS u, dst_conv_id AS v FROM edges
+  WHERE src_conv_id != dst_conv_id
+),
+tvv AS MATERIALIZED (SELECT u AS cv FROM tde UNION SELECT v FROM tde),
+tlp AS MATERIALIZED (
+  SELECT least(u, v) AS a, greatest(u, v) AS b,
+         max(CASE WHEN u < v THEN 1 ELSE 0 END) AS fwd,
+         max(CASE WHEN u > v THEN 1 ELSE 0 END) AS bwd
+  FROM tde GROUP BY 1, 2
+),
+ttrip AS (
+  SELECT va.cv AS x, vb.cv AS y, vc.cv AS z
+  FROM tvv va JOIN tvv vb ON va.cv < vb.cv JOIN tvv vc ON vb.cv < vc.cv
+),
+tcode AS (
+  SELECT coalesce(xy.fwd, 0) + 2 * coalesce(xy.bwd, 0)
+       + 4 * coalesce(xz.fwd, 0) + 8 * coalesce(xz.bwd, 0)
+       + 16 * coalesce(yz.fwd, 0) + 32 * coalesce(yz.bwd, 0) AS code
+  FROM ttrip
+  LEFT JOIN tlp xy ON xy.a = ttrip.x AND xy.b = ttrip.y
+  LEFT JOIN tlp xz ON xz.a = ttrip.x AND xz.b = ttrip.z
+  LEFT JOIN tlp yz ON yz.a = ttrip.y AND yz.b = ttrip.z
+),
+tcnt AS (
+  SELECT {canon} AS canon, CAST(count(*) AS BIGINT) AS n_triads
+  FROM tcode GROUP BY 1
+)
+SELECT d.triad_type,
+       coalesce(tcnt.n_triads, CAST(0 AS BIGINT)) AS n_triads
+FROM (VALUES {dim}) AS d(canon, triad_type)
+LEFT JOIN tcnt ON tcnt.canon = d.canon"""
+
+
+SQL_TRIAD_CENSUS = _sql_triad_census()
+
+
 GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_transcripts": q_transcripts,
     "q02_mine_refs": q_mine_refs,
@@ -2892,6 +2952,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q126_link_prediction_auc": q_link_prediction_auc,
     "q127_bowtie": q_bowtie,
     "q129_boruvka_msf": q_boruvka,
+    "q130_triad_census": q_triad_census,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
@@ -2951,4 +3012,5 @@ GRAPH_ORACLES: dict[str, str] = {
     "q126_link_prediction_auc": SQL_LINK_PREDICTION_AUC,
     "q127_bowtie": SQL_BOWTIE,
     "q129_boruvka_msf": SQL_BORUVKA,
+    "q130_triad_census": SQL_TRIAD_CENSUS,
 }
