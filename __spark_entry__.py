@@ -139,6 +139,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #     displaces q85_assortativity (green r4; its one-join + corr-agg
 #     shape is re-pinned every round by the parity suite, and the
 #     degree-moment machinery is in-cap via q13-family stats rows).
+#     q131 (weighted jaccard) and q132 (entropy screen) displace
+#     q73_node2vec_walks and q74_louvain (both green r4; the walk-rank
+#     machinery runs in-cap inside q84's deepwalk row and the local-
+#     move machinery inside never-green q87 two-level louvain; both
+#     re-pinned every round by their pytests + the parity suite).
 _DEFER_LAST = (
     "q01_transcripts",
     "q02_mine_refs",
@@ -206,6 +211,8 @@ _DEFER_LAST = (
     "q86_clustering",
     "q63_mis",
     "q85_assortativity",
+    "q73_node2vec_walks",
+    "q74_louvain",
 )
 
 

@@ -284,6 +284,8 @@ def extended_queries(spark) -> dict[str, float]:
         q_sorted_neighborhood,
         q_state_history,
         q_textrank_keywords,
+        q_weighted_jaccard,
+        q_entropy_screen,
     )
 
     for name, q in (
@@ -308,6 +310,8 @@ def extended_queries(spark) -> dict[str, float]:
         ("bowtie", q_bowtie),
         ("boruvka_msf", q_boruvka),
         ("triad_census", q_triad_census),
+        ("weighted_jaccard", q_weighted_jaccard),
+        ("entropy_screen", q_entropy_screen),
     ):
         _, times[name] = _timed(lambda q=q: q(spark, SF_DIR).count())
     return times

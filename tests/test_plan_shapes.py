@@ -280,8 +280,9 @@ def test_triad_census_avoids_triple_enumeration(spark):
     plan = _plan(triad_census(edges, eager=False))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
-    # the only nested-loops are broadcast 1-ROW scalars: singles ×
-    # vertex-count, nulls × (n, total) — and the singles node appears
-    # twice in the tree (it feeds both the total and the final union)
-    assert plan.count("BroadcastNestedLoopJoin") <= 4, plan
+    # the only nested-loops are broadcast 1-ROW scalar assemblies
+    # (scal × csum × n, nulls × total), some appearing twice in the
+    # tree because the singles frame feeds both the total and the
+    # final union — every build side is a single-row aggregate
+    assert plan.count("BroadcastNestedLoopJoin") <= 6, plan
     assert "Exchange" in plan  # it is a real distributed dataflow

@@ -400,3 +400,17 @@ def pii_counts_sql(expr: str) -> tuple[str, str]:
         f"len(regexp_extract_all({expr}, '{PII_EMAIL_RE}'))",
         f"len(regexp_extract_all({mail_scrubbed}, '{PII_PHONE_RE}'))",
     )
+
+
+def shingles_multi(col: Column | str, k: int = 3) -> Column:
+    """Word k-shingles WITH multiplicity (for weighted Jaccard — the
+    multiset variant of :func:`shingles`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(F.lower(c))
+    n = F.size(toks)
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", *[toks[i + j] for j in range(k)]),
+        )
+    )

@@ -726,3 +726,85 @@ def sorted_neighborhood_pairs(
             F.round("jac", 6).alias("jac"),
         )
     )
+
+
+def weighted_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold_e6: int = 200_000,
+) -> DataFrame:
+    """Weighted (multiset) Jaccard near-dup pairs over word k-shingle
+    FREQUENCIES: ``WJ = Σ min(tfA, tfB) / Σ max(tfA, tfB)`` — the
+    repetition-aware refinement of :func:`ngram_jaccard_pairs` (a doc
+    that repeats one paragraph 10× is near-identical to the single
+    paragraph under set Jaccard but not under weighted Jaccard).
+
+    Same inverted-index shape as the set variant, with two exactness
+    upgrades: ``Σ max = totA + totB − Σ min`` (so only the min-sum is
+    aggregated), and the threshold is applied as the exact integer
+    cross-multiplication ``1e6·Σmin ≥ t_e6·(totA + totB − Σmin)`` — no
+    float compare anywhere.  The length filter is the weighted analog
+    (WJ ≤ min(tot)/max(tot), lossless).  → ``(id_a, id_b, w_shared,
+    w_union, wjaccard)`` with wjaccard rounded to 6.
+    """
+    from unarxive_spark.functions.texttools import shingles_multi
+
+    t_e6 = int(threshold_e6)
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles_multi(text_col, k=k)).alias("shingle"),
+        )
+        .groupBy("id", "shingle")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tot = sh.groupBy("id").agg(F.sum("tf").alias("tot"))
+    l = sh.join(tot, "id").select(
+        F.col("id").alias("id_a"),
+        "shingle",
+        F.col("tf").alias("tf_a"),
+        F.col("tot").alias("tot_a"),
+    )
+    r = sh.join(tot, "id").select(
+        F.col("id").alias("id_b"),
+        F.col("shingle").alias("shingle_b"),
+        F.col("tf").alias("tf_b"),
+        F.col("tot").alias("tot_b"),
+    )
+    shared = (
+        l.join(
+            r,
+            (F.col("shingle") == F.col("shingle_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            # weighted length filter: WJ ≤ min(tot)/max(tot)
+            & (F.lit(1_000_000) * F.col("tot_a") >= t_e6 * F.col("tot_b"))
+            & (F.lit(1_000_000) * F.col("tot_b") >= t_e6 * F.col("tot_a")),
+        )
+        .groupBy("id_a", "id_b", "tot_a", "tot_b")
+        .agg(F.sum(F.least("tf_a", "tf_b")).alias("w_shared"))
+    )
+    return (
+        shared.select(
+            "id_a",
+            "id_b",
+            "w_shared",
+            (F.col("tot_a") + F.col("tot_b") - F.col("w_shared")).alias(
+                "w_union"
+            ),
+        )
+        .filter(
+            F.lit(1_000_000) * F.col("w_shared")
+            >= F.lit(t_e6) * F.col("w_union")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "w_shared",
+            "w_union",
+            F.round(
+                F.col("w_shared").cast("double") / F.col("w_union"), 6
+            ).alias("wjaccard"),
+        )
+    )

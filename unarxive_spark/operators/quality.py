@@ -106,3 +106,97 @@ SELECT s.{id_col},
             ELSE CAST(coalesce(m.top_cnt, 0) AS DOUBLE)
                  / (s.n_tokens - 1) END AS top_bigram_frac
 FROM s LEFT JOIN m USING ({id_col})"""
+
+
+def entropy_screen(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_entropy_e6: int = 1_200_000,
+) -> DataFrame:
+    """Unigram-entropy + type-token-ratio quality screen.
+
+    Shannon entropy of the per-document unigram distribution,
+    H = Σ (tf/n)·ln(n/tf) — the information-density complement of the
+    Gopher repetition rules (templated/boilerplate docs score low even
+    when no single n-gram dominates).
+
+    Exactness discipline: the only float op is ``ln(n/tf)`` on a tiny
+    integer-pair domain (both engines agree there, the q107 precedent);
+    it is frozen to an int64 weight ``round(1e6·ln(n/tf))`` ONCE per
+    (tf, n) pair, the numerator ``Σ tf·w`` is an exact int64 (order-
+    independent), and the low-entropy flag is the exact integer
+    cross-multiplication ``num < t_e6 · n``.  → ``(doc_id, n_tokens,
+    n_types, entropy_num, entropy, ttr, is_low_entropy)``.
+
+    100-TB shape: one explode → (doc, term) partial-agg groupBy → one
+    per-doc agg; the (doc, term) key spreads hot terms.
+    """
+    t_e6 = int(min_entropy_e6)
+    tf = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tot = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n"), F.count(F.lit(1)).alias("n_types")
+    )
+    w = F.round(
+        F.lit(1e6)
+        * F.log(F.col("n").cast("double") / F.col("tf"))
+    ).cast("long")
+    return (
+        tf.join(tot, "doc_id")
+        .select("doc_id", "n", "n_types", (F.col("tf") * w).alias("c"))
+        .groupBy("doc_id", "n", "n_types")
+        .agg(F.sum("c").alias("entropy_num"))
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            "n_types",
+            "entropy_num",
+            F.round(
+                F.col("entropy_num").cast("double") / F.col("n") / 1e6, 6
+            ).alias("entropy"),
+            F.round(
+                F.col("n_types").cast("double") / F.col("n"), 6
+            ).alias("ttr"),
+            (
+                F.col("entropy_num") < F.lit(t_e6) * F.col("n")
+            ).alias("is_low_entropy"),
+        )
+    )
+
+
+def entropy_screen_sql(min_entropy_e6: int = 1_200_000) -> str:
+    """DuckDB rendering of :func:`entropy_screen` over ``documents``."""
+    toks = (
+        "list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+        "t -> t != '')"
+    )
+    return f"""
+WITH etf AS (
+  SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({toks}) AS t FROM documents)
+  GROUP BY 1, 2
+),
+etot AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_types
+  FROM etf GROUP BY 1
+),
+eagg AS (
+  SELECT etf.doc_id, n, n_types,
+         CAST(sum(tf * CAST(round(1e6 * ln(CAST(n AS DOUBLE) / tf))
+                            AS BIGINT)) AS BIGINT) AS entropy_num
+  FROM etf JOIN etot ON etf.doc_id = etot.doc_id
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, n AS n_tokens, n_types, entropy_num,
+       round(CAST(entropy_num AS DOUBLE) / n / 1e6, 6) AS entropy,
+       round(CAST(n_types AS DOUBLE) / n, 6) AS ttr,
+       entropy_num < {int(min_entropy_e6)} * n AS is_low_entropy
+FROM eagg"""

@@ -129,8 +129,64 @@ def canonical_sql_expr(code_col: str, dialect: str) -> str:
     return "least(" + ", ".join(terms) + ")"
 
 
+def _linked_count(code: int) -> int:
+    """Number of LINKED dyads (any arc) in the triple."""
+    n = 0
+    for i, j in ((0, 1), (0, 2), (1, 2)):
+        if (code >> _SLOT[(i, j)] & 1) or (code >> _SLOT[(j, i)] & 1):
+            n += 1
+    return n
+
+
+def _g_counts(code: int) -> tuple[int, int]:
+    """Per triad: # mutual / # asym dyads whose OPPOSITE vertex is
+    adjacent (>= 1 arc) to BOTH endpoints — the exact coefficient of
+    Σ common(a,b) over pairs of that dyad type (permutation-invariant,
+    so well-defined per canonical class)."""
+    gm = ga = 0
+    for i, j in ((0, 1), (0, 2), (1, 2)):
+        f = code >> _SLOT[(i, j)] & 1
+        b = code >> _SLOT[(j, i)] & 1
+        if not (f or b):
+            continue
+        k = ({0, 1, 2} - {i, j}).pop()
+        adj_i = (code >> _SLOT[(i, k)] & 1) or (code >> _SLOT[(k, i)] & 1)
+        adj_j = (code >> _SLOT[(j, k)] & 1) or (code >> _SLOT[(k, j)] & 1)
+        if adj_i and adj_j:
+            if f and b:
+                gm += 1
+            else:
+                ga += 1
+    return gm, ga
+
+
+# per canonical class: generation multiplicity |L|(|L|-1) and the
+# Σ-common coefficients; only classes with >= 2 linked dyads are ever
+# generated by the candidate join
+TRIAD_DIM: list[tuple[int, str, int, int, int]] = [
+    (
+        c,
+        t,
+        _linked_count(c) * (_linked_count(c) - 1),
+        *_g_counts(c),
+    )
+    for c, t in sorted(TRIAD_TYPES.items())
+]
+
+
 def triad_census(edges: DataFrame, eager: bool = True) -> DataFrame:
     """16-row census → ``(triad_type string, n_triads long)``.
+
+    No triple-level ``distinct`` and no per-pair aggregation: every
+    candidate row (linked pair × adjacent third vertex) is classified,
+    and a triple with |L| linked dyads appears EXACTLY |L|·(|L|−1)
+    times — a pure function of its canonical class — so the class
+    count is an exact integer division.  The single-dyad classes
+    (012/102) come from the identity
+    ``Σ_T (n − 2 − |N(a) ∪ N(b) \\ {a,b}|)
+      = P_T·n − Σ_T (deg a + deg b) + C_T``
+    where ``C_T = Σ_class count · g_T`` re-uses the census itself for
+    the Σ-common term — no second data-sized shuffle.
 
     ``eager=False`` skips the final localCheckpoint (and the dyad-table
     unpersist) so plan-shape tests can inspect the real dataflow."""
@@ -142,7 +198,6 @@ def triad_census(edges: DataFrame, eager: bool = True) -> DataFrame:
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    # linked unordered dyads with both direction bits
     lp = (
         de.select(
             F.least("u", "v").alias("a"),
@@ -157,11 +212,13 @@ def triad_census(edges: DataFrame, eager: bool = True) -> DataFrame:
     nbr = de.select("u", "v").unionByName(
         de.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
+    deg = nbr.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     n_row = F.broadcast(
-        nbr.select("u").distinct().agg(F.count(F.lit(1)).alias("n"))
+        deg.agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
     )
 
-    # connected-triple candidates: w adjacent to either endpoint
     cand = (
         lp.select("a", "b")
         .join(nbr.withColumnRenamed("u", "a"), "a")
@@ -173,19 +230,20 @@ def triad_census(edges: DataFrame, eager: bool = True) -> DataFrame:
         )
         .filter((F.col("w") != F.col("a")) & (F.col("w") != F.col("b")))
     )
-    # triples with >= 2 linked dyads, classified exactly once
     triples = cand.select(
         F.least("a", "b", "w").alias("x"),
         F.array_sort(F.array("a", "b", "w"))[1].alias("y"),
         F.greatest("a", "b", "w").alias("z"),
-    ).distinct()
+    )
 
     def _bits(pair_a: str, pair_b: str, shift: int) -> DataFrame:
-        return lp.select(
-            F.col("a").alias(pair_a),
-            F.col("b").alias(pair_b),
-            (F.col("fwd") * (1 << shift)).alias(f"_f{shift}"),
-            (F.col("bwd") * (2 << shift)).alias(f"_b{shift}"),
+        return F.broadcast(
+            lp.select(
+                F.col("a").alias(pair_a),
+                F.col("b").alias(pair_b),
+                (F.col("fwd") * (1 << shift)).alias(f"_f{shift}"),
+                (F.col("bwd") * (2 << shift)).alias(f"_b{shift}"),
+            )
         )
 
     coded = (
@@ -202,36 +260,101 @@ def triad_census(edges: DataFrame, eager: bool = True) -> DataFrame:
         )
     )
     canon = F.expr(canonical_sql_expr("code", "spark"))
-    multi = coded.select(canon.alias("canon")).groupBy("canon").agg(
-        F.count(F.lit(1)).alias("n_triads")
+    dim = F.broadcast(
+        spark.createDataFrame(
+            TRIAD_DIM,
+            "canon long, triad_type string, m long, g_mut long, g_asym long",
+        )
     )
+    # ONE map-side-combinable pass: 16 groups, exact division by the
+    # class multiplicity recovers the triple count
+    multi = (
+        coded.select(canon.alias("canon"))
+        .groupBy("canon")
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .join(dim, "canon")
+        .select(
+            "canon",
+            "g_mut",
+            "g_asym",
+            F.expr("rows div m").alias("n_triads"),
+        )
+    )
+    if eager:
+        # 16-row pivot of the whole census: evaluate the one data-sized
+        # pass exactly once (csum/counted/total/final all reuse it)
+        multi = multi.localCheckpoint(eager=True)
 
-    # exactly-one-linked-dyad triples: n - 2 - |N(a) ∪ N(b) \ {a,b}|
-    adjcnt = cand.groupBy("a", "b").agg(
-        F.countDistinct("w").alias("adj")
+    # dyad-level scalars for the single-dyad identity
+    dl = lp.join(deg.withColumnRenamed("u", "a"), "a").join(
+        deg.withColumnRenamed("u", "b").withColumnRenamed("deg", "deg_b"),
+        "b",
+    )
+    mut = (F.col("fwd") == 1) & (F.col("bwd") == 1)
+    scal = F.broadcast(
+        dl.agg(
+            F.sum(mut.cast("long")).alias("p_mut"),
+            F.sum((~mut).cast("long")).alias("p_asym"),
+            F.sum(F.when(mut, F.col("deg") + F.col("deg_b"))).alias(
+                "s_mut"
+            ),
+            F.sum(
+                F.when(~mut, F.col("deg") + F.col("deg_b"))
+            ).alias("s_asym"),
+        ).select(
+            *[
+                F.coalesce(F.col(c), F.lit(0).cast("long")).alias(c)
+                for c in ("p_mut", "p_asym", "s_mut", "s_asym")
+            ]
+        )
+    )
+    csum = F.broadcast(
+        multi.agg(
+            F.coalesce(
+                F.sum(F.col("n_triads") * F.col("g_mut")),
+                F.lit(0).cast("long"),
+            ).alias("c_mut"),
+            F.coalesce(
+                F.sum(F.col("n_triads") * F.col("g_asym")),
+                F.lit(0).cast("long"),
+            ).alias("c_asym"),
+        )
     )
     singles = (
-        lp.join(adjcnt, ["a", "b"], "left")
+        scal.crossJoin(csum)
         .crossJoin(n_row)
         .select(
-            F.when((F.col("fwd") == 1) & (F.col("bwd") == 1), F.lit(3))
-            .otherwise(F.lit(1))
-            .cast("long")
-            .alias("canon"),
-            (
-                F.col("n") - 2 - F.coalesce("adj", F.lit(0))
-            ).cast("long").alias("k"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(3).cast("long").alias("canon"),  # 102
+                        (
+                            F.col("p_mut") * F.col("n")
+                            - F.col("s_mut")
+                            + F.col("c_mut")
+                        ).alias("n_triads"),
+                    ),
+                    F.struct(
+                        F.lit(1).cast("long").alias("canon"),  # 012
+                        (
+                            F.col("p_asym") * F.col("n")
+                            - F.col("s_asym")
+                            + F.col("c_asym")
+                        ).alias("n_triads"),
+                    ),
+                )
+            ).alias("_s")
         )
-        .groupBy("canon")
-        .agg(F.sum("k").alias("n_triads"))
+        .select("_s.*")
     )
-    counted = multi.unionByName(singles)
-    # null triads: C(n,3) minus everything counted above
-    total = counted.agg(
-        F.coalesce(F.sum("n_triads"), F.lit(0).cast("long")).alias("t")
+    counted = multi.select("canon", "n_triads").unionByName(singles)
+    total = F.broadcast(
+        counted.agg(
+            F.coalesce(F.sum("n_triads"), F.lit(0).cast("long")).alias("t")
+        )
     )
     nulls = (
-        n_row.crossJoin(F.broadcast(total))
+        n_row.crossJoin(total)
         .select(
             F.lit(0).cast("long").alias("canon"),
             F.expr("n * (n - 1) * (n - 2) div 6 - t")
@@ -239,14 +362,9 @@ def triad_census(edges: DataFrame, eager: bool = True) -> DataFrame:
             .alias("n_triads"),
         )
     )
-    dim = F.broadcast(
-        spark.createDataFrame(
-            sorted((c, t) for c, t in TRIAD_TYPES.items()),
-            "canon long, triad_type string",
-        )
-    )
     out = (
-        dim.join(
+        dim.select("canon", "triad_type")
+        .join(
             counted.unionByName(nulls).groupBy("canon").agg(
                 F.sum("n_triads").alias("n_triads")
             ),
@@ -261,8 +379,6 @@ def triad_census(edges: DataFrame, eager: bool = True) -> DataFrame:
         )
     )
     if eager:
-        # 16-row result: evaluate once so the cached dyad table can
-        # be released before the caller collects
         out = out.localCheckpoint(eager=True)
         lp.unpersist()
     return out

@@ -3492,6 +3492,86 @@ ORDER BY round(rank, 6) DESC, word ASC LIMIT {TR_TOPK}"""
 SQL_TEXTRANK = _sql_textrank()
 
 
+WJ_T_E6 = 200_000
+
+
+def q_weighted_jaccard(spark, sf_dir):
+    """Weighted (multiset) Jaccard near-dup pairs (operators/dedup.py):
+    Σmin/Σmax over word 3-shingle frequencies — the repetition-aware
+    refinement of q33's set Jaccard. Exact integer threshold + length
+    filter via cross-multiplication; the single float op is the final
+    rounded division."""
+    from unarxive_spark.operators.dedup import weighted_jaccard_pairs
+
+    return weighted_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold_e6=WJ_T_E6
+    )
+
+
+def _shingles_multi_sql(expr: str) -> str:
+    toks = (
+        f"list_filter(string_split_regex(trim(lower({expr})), '\\s+'),"
+        " t -> t != '')"
+    )
+    return (
+        f"CASE WHEN len({toks}) < 3 THEN [array_to_string({toks}, ' ')] "
+        f"ELSE [array_to_string({toks}[i:i+2], ' ') "
+        f"FOR i IN range(1, len({toks}) - 1)] END"
+    )
+
+
+SQL_WEIGHTED_JACCARD = f"""
+WITH wsh AS (
+  SELECT doc_id AS id, s AS shingle, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_shingles_multi_sql("text")}) AS s
+        FROM documents)
+  GROUP BY 1, 2
+),
+wtot AS (SELECT id, CAST(sum(tf) AS BIGINT) AS tot FROM wsh GROUP BY 1),
+wl AS MATERIALIZED (
+  SELECT wsh.id, shingle, tf, tot FROM wsh JOIN wtot USING (id)
+),
+wp AS (
+  SELECT l.id AS id_a, r.id AS id_b, l.tot AS tot_a, r.tot AS tot_b,
+         CAST(sum(least(l.tf, r.tf)) AS BIGINT) AS w_shared
+  FROM wl l JOIN wl r
+    ON l.shingle = r.shingle AND l.id < r.id
+   AND 1000000 * l.tot >= {WJ_T_E6} * r.tot
+   AND 1000000 * r.tot >= {WJ_T_E6} * l.tot
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, w_shared,
+       tot_a + tot_b - w_shared AS w_union,
+       round(CAST(w_shared AS DOUBLE) / (tot_a + tot_b - w_shared), 6)
+         AS wjaccard
+FROM wp
+WHERE 1000000 * w_shared >= {WJ_T_E6} * (tot_a + tot_b - w_shared)"""
+
+
+ENT_MIN_E6 = 1_200_000
+
+
+def q_entropy_screen(spark, sf_dir):
+    """Unigram-entropy + TTR quality screen (operators/quality.py):
+    information-density complement of the Gopher repetition rules.
+    ln frozen to int64 weights on the bounded (tf, n) domain, numerator
+    exact, flag via integer cross-multiplication."""
+    from unarxive_spark.operators.quality import entropy_screen
+
+    return entropy_screen(
+        _t(spark, sf_dir, "documents"), min_entropy_e6=ENT_MIN_E6
+    )
+
+
+def _sql_entropy_screen() -> str:
+    from unarxive_spark.operators.quality import entropy_screen_sql
+
+    return entropy_screen_sql(ENT_MIN_E6)
+
+
+SQL_ENTROPY_SCREEN = _sql_entropy_screen()
+
+
 TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_pricing_summary": q_pricing_summary,
     "q21_revenue_by_nation": q_revenue_by_nation,
@@ -3550,6 +3630,8 @@ TABULAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q122_cusum_drift": q_cusum_drift,
     "q124_ewma_anomaly": q_ewma_anomaly,
     "q128_textrank_keywords": q_textrank_keywords,
+    "q131_weighted_jaccard": q_weighted_jaccard,
+    "q132_entropy_screen": q_entropy_screen,
     "q77_vocab_topk": q_vocab_topk,
     "q78_containment_pairs": q_containment_pairs,
     "q80_funnel": q_funnel,
@@ -3626,6 +3708,8 @@ TABULAR_ORACLES: dict[str, str] = {
     "q122_cusum_drift": SQL_CUSUM_DRIFT,
     "q124_ewma_anomaly": SQL_EWMA_ANOMALY,
     "q128_textrank_keywords": SQL_TEXTRANK,
+    "q131_weighted_jaccard": SQL_WEIGHTED_JACCARD,
+    "q132_entropy_screen": SQL_ENTROPY_SCREEN,
     "q77_vocab_topk": SQL_VOCAB_TOPK,
     "q78_containment_pairs": SQL_CONTAINMENT_PAIRS,
     "q80_funnel": SQL_FUNNEL,
