@@ -87,3 +87,54 @@ def test_streaming_drift_equals_batch_across_restart(spark, tmp_path):
     assert got == want
     # non-degenerate: the fixture actually drifts somewhere
     assert any(v[2] > 0 for v in want.values())
+
+
+def test_streaming_ewma_equals_batch_across_restart(spark, tmp_path):
+    from unarxive_spark.operators.timeseries import ewma_smooth
+    from unarxive_spark.streaming.driftstate import start_ewma_stream
+
+    in_dir = str(tmp_path / "ein")
+    out_dir = str(tmp_path / "eout")
+    ck_dir = str(tmp_path / "eck")
+
+    spark.createDataFrame(_events(0, 300)).write.mode("append").parquet(
+        in_dir
+    )
+    q = start_ewma_stream(
+        spark, in_dir, out_dir, ck_dir, window=8, anomaly_t_e6=80_000_000
+    )
+    q.awaitTermination()
+    spark.createDataFrame(_events(300, 560)).write.mode("append").parquet(
+        in_dir
+    )
+    q = start_ewma_stream(
+        spark, in_dir, out_dir, ck_dir, window=8, anomaly_t_e6=80_000_000
+    )
+    q.awaitTermination()
+
+    log = spark.read.parquet(out_dir)
+    w = (
+        log.groupBy("user_id")
+        .agg(F.max("rn").alias("rn"))
+        .join(log, ["user_id", "rn"])
+    )
+    got = {
+        r.user_id: (r.rn, r.x_e6, r.ewma_num, r.ewma_den, r.is_anomaly)
+        for r in w.collect()
+    }
+
+    batch = ewma_smooth(
+        spark.createDataFrame(_events(0, 560)),
+        window=8,
+        anomaly_t_e6=80_000_000,
+    )
+    bw = batch.groupBy("user_id").agg(F.max("rn").alias("rn")).join(
+        batch, ["user_id", "rn"]
+    )
+    want = {
+        r.user_id: (r.rn, r.x_e6, r.ewma_num, r.ewma_den, r.is_anomaly)
+        for r in bw.collect()
+    }
+    assert got == want
+    # the sawtooth fixture actually trips the anomaly flag somewhere
+    assert log.filter("is_anomaly").count() > 0

@@ -123,3 +123,117 @@ def start_drift_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+EWMA_STATE_SCHEMA = (
+    "tail array<long>, rn long, last_num long, last_den long, "
+    "last_anom boolean"
+)
+EWMA_OUTPUT_SCHEMA = (
+    "user_id long, rn long, x_e6 long, ewma_num long, ewma_den long, "
+    "is_anomaly boolean"
+)
+
+
+def _make_ewma_update(window: int, t_e6: int):
+    def _update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            tail, rn, num, den, anom = state.get
+            tail = list(tail)
+        else:
+            tail, rn, num, den, anom = [], 0, 0, 0, False
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        x_last = None
+        if len(pdf):
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            xs = (
+                (pdf["value"].to_numpy(dtype=np.float64) * 1e6)
+                .round()
+                .astype(np.int64)
+            )
+            hist = tail + [int(v) for v in xs]
+            base = len(tail)
+            for i in range(len(xs)):
+                lo = max(0, base + i - window + 1)
+                win = hist[lo : base + i + 1]
+                m = len(win)
+                # w(0)=1, w(j)=2^(j-1): oldest two share weight 1
+                nnum = sum(
+                    v * (1 if j == 0 else 1 << (j - 1))
+                    for j, v in enumerate(win)
+                )
+                nden = 1 << (m - 1)
+                if rn + i == 0 or den == 0:
+                    anom = False
+                else:
+                    anom = abs(int(xs[i]) * den - num) > t_e6 * den
+                num, den = nnum, nden
+            rn += len(xs)
+            tail = hist[-(window - 1) :]
+            x_last = int(xs[-1])
+        state.update((tail, rn, num, den, bool(anom)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "rn": [rn],
+                "x_e6": [x_last],
+                "ewma_num": [num],
+                "ewma_den": [den],
+                "is_anomaly": [bool(anom)],
+            }
+        )
+
+    return _update
+
+
+def streaming_ewma(
+    stream: DataFrame,
+    window: int = 16,
+    anomaly_t_e6: int = 150_000_000,
+) -> DataFrame:
+    """Streaming windowed alpha=1/2 EWMA: the state carries the last
+    ``window - 1`` raw values (plus the running position and the last
+    num/den), so every per-row num/den — and therefore the emitted
+    last-row summary — is IDENTICAL to the batch
+    ``operators/timeseries.py::ewma_smooth`` over everything seen so
+    far, across availableNow restarts, when files arrive in event-time
+    order.  Per-batch work is O(window · rows) exact int64 ops."""
+    prepared = stream.select("user_id", "ts", "event_id", "value")
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _make_ewma_update(int(window), int(anomaly_t_e6)),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def start_ewma_stream(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ),
+    window: int = 16,
+    anomaly_t_e6: int = 150_000_000,
+) -> StreamingQuery:
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    out = streaming_ewma(stream, window=window, anomaly_t_e6=anomaly_t_e6)
+
+    def sink(df: DataFrame, _batch_id: int) -> None:
+        df.write.mode("append").parquet(out_dir)
+
+    return (
+        out.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
