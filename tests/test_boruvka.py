@@ -148,3 +148,17 @@ def test_boruvka_parallel_edges_sum_weights(spark):
     rows = [("a", "b", 2.0), ("b", "a", 3.0), ("b", "c", 1.0)]
     got = _run(spark, rows)
     assert got == {("a", "b", 5): 0, ("b", "c", 1): 0}
+
+
+def test_boruvka_rejects_zero_rounds(spark):
+    """r5 ADVICE: fixed_rounds=0 used to crash with IndexError."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", "b", 1.0)],
+        "src_conv_id string, dst_conv_id string, weight double",
+    )
+    with pytest.raises(ValueError, match="fixed_rounds"):
+        boruvka_forest(df, fixed_rounds=0)
+    with pytest.raises(ValueError, match="max_iter"):
+        boruvka_forest(df, max_iter=0)

@@ -250,3 +250,72 @@ def test_sorted_neighborhood_matches_python_replay(docs_with_dups):
     # adjacently, and must be caught at jac == 1
     full = [k for k, v in got.items() if v[2] == 1.0]
     assert len(full) >= 1
+
+
+def test_max_df_cap_pins_capped_semantics(spark):
+    """r5 verdict #5: the hot-shingle cap must equal the exact
+    (weighted) Jaccard computed on the df-capped shingle sets — and
+    with the cap off, results are the uncapped exact values."""
+    from collections import Counter
+
+    from unarxive_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        weighted_jaccard_pairs,
+    )
+
+    # "common words here" 3-shingle appears in ALL docs (df=4 hot);
+    # the rare tails distinguish the pairs
+    rows = [
+        (1, "common words here alpha beta gamma"),
+        (2, "common words here alpha beta delta"),
+        (3, "common words here zeta eta theta"),
+        (4, "common words here zeta eta theta iota"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _sets(max_df):
+        toks = {d: t.split() for d, t in rows}
+        sh = {
+            d: Counter(
+                tuple(ts[i : i + 3]) for i in range(len(ts) - 2)
+            )
+            for d, ts in toks.items()
+        }
+        if max_df is not None:
+            dfreq = Counter(s for c in sh.values() for s in c)
+            sh = {
+                d: Counter({s: n for s, n in c.items() if dfreq[s] <= max_df})
+                for d, c in sh.items()
+            }
+        return sh
+
+    for cap in (None, 3):
+        sh = _sets(cap)
+        want = set()
+        for a in sh:
+            for b in sh:
+                if a < b:
+                    inter = sum((sh[a] & sh[b]).values())
+                    union = sum((sh[a] | sh[b]).values())
+                    if union and inter / union >= 0.2:
+                        want.add((a, b))
+        got = {
+            (r.id_a, r.id_b)
+            for r in weighted_jaccard_pairs(
+                df, threshold_e6=200_000, max_df=cap
+            ).collect()
+        }
+        assert got == want, (cap, got, want)
+
+    # set variant: capped pairs = exact Jaccard of capped sets
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, threshold=0.2, max_df=3
+        ).collect()
+    }
+    sh = {d: set(c) for d, c in _sets(3).items()}
+    for (a, b), j in capped.items():
+        inter = len(sh[a] & sh[b])
+        union = len(sh[a] | sh[b])
+        assert abs(j - inter / union) < 1e-9

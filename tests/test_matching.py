@@ -194,3 +194,12 @@ def test_bowtie_census_no_giant_ties_break_deterministically(spark):
     df = spark.createDataFrame(rows, SCHEMA)
     got = {r.region: r.n_vertices for r in bowtie_census(df).collect()}
     assert got == {"scc": 2, "in": 0, "out": 0, "other": 2}
+
+
+def test_matching_rejects_zero_rounds(spark):
+    """r5 ADVICE: fixed_rounds=0 used to crash with IndexError."""
+    df = spark.createDataFrame([("a", "b")], SCHEMA)
+    with pytest.raises(ValueError, match="fixed_rounds"):
+        maximal_matching(df, fixed_rounds=0)
+    with pytest.raises(ValueError, match="max_iter"):
+        maximal_matching(df, max_iter=0)

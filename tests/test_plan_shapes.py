@@ -286,3 +286,27 @@ def test_triad_census_avoids_triple_enumeration(spark):
     # final union — every build side is a single-row aggregate
     assert plan.count("BroadcastNestedLoopJoin") <= 6, plan
     assert "Exchange" in plan  # it is a real distributed dataflow
+
+
+def test_corpus_no_forced_broadcast_of_unbounded_tables():
+    """r5 verdict #3: vocabulary-sized tables (document frequencies,
+    unigram counts, KN context/continuation tables) must not carry a
+    forced broadcast hint — at corpus scale they are 1e8-1e9 rows and
+    the hint turns a working shuffle join into a job failure. The
+    remaining F.broadcast sites in corpus.py are all bounded by
+    construction: 1-row scalar aggregates, the n_parts-row partition
+    offset table, the n_buckets-row DSIR weight table, and the
+    benchmark side of decontamination (small by definition)."""
+    import inspect
+
+    from unarxive_spark.operators import corpus
+
+    src = inspect.getsource(corpus)
+    for name in ("dfreq", "cu.select", "(left", "(prec"):
+        for i in range(len(src)):
+            if src.startswith("F.broadcast", i):
+                window = src[i : i + 120]
+                assert name not in window, (
+                    f"unbounded table {name!r} inside a forced "
+                    f"broadcast: {window!r}"
+                )

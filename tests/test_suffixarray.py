@@ -150,3 +150,25 @@ def test_repeated_span_histogram_no_repeats(spark):
         for r in repeated_span_histogram(df, rounds=3).collect()
     }
     assert got == {0: 5}
+
+
+def test_early_stop_matches_full_depth_construction(spark):
+    """The stable-partition early stop (r6 optimization) must be
+    invisible: the LCP spectrum with auto rounds (early-stopped) equals
+    the spectrum with the full explicit doubling depth, on a fixture
+    with exact duplicate docs (identical-suffix shortcut) AND internal
+    repetition (non-trivial lifting)."""
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    auto = {
+        (r.lcp): r.n_pairs
+        for r in repeated_span_histogram(df).collect()
+    }
+    deep = {
+        (r.lcp): r.n_pairs
+        for r in repeated_span_histogram(df, rounds=8).collect()
+    }
+    assert auto == deep
+    # and the early stop really engaged: ranks stabilize well before
+    # the max-length bound on this fixture
+    _, per_round, _ = suffix_ranks(df)
+    assert len(per_round) - 1 < 8

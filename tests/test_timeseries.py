@@ -167,3 +167,11 @@ def test_association_rules_dedups_repeated_lines(spark):
         ).collect()
     }
     assert got == {(1, 2): 2, (2, 1): 2}
+
+
+def test_ewma_rejects_negative_values(spark):
+    """r5 ADVICE: the half-up integer identity assumes num >= 0 —
+    negative inputs must fail loudly, not silently mis-round."""
+    ev = _ev(spark, [(1, 1, 1, 2.0), (1, 2, 2, -0.5)])
+    with pytest.raises(Exception, match="non-negative"):
+        ewma_smooth(ev).collect()

@@ -72,3 +72,58 @@ def test_triad_census_planted_orientations(spark):
     # the mutual pair contributes n-2 single-mutual (102) triads
     # beyond any it forms with the other clusters (brute pins exact)
     assert got["102"] >= 1
+
+
+def test_triad_census_no_forced_broadcast_above_gate(spark):
+    """r5 verdict #2: the O(E) dyad table must not be force-broadcast
+    at scale. With the gate set below the pair count, the dyad-bit
+    lookup loses its broadcast hint (one BroadcastExchange fewer in
+    the initial plan); the census is unchanged either way."""
+
+    def _hints(df_):
+        # the ANALYZED logical plan keeps ResolvedHint nodes; at this
+        # fixture scale the physical planner auto-broadcasts everything
+        # from size estimates, so the hint presence is the honest signal
+        return df_._jdf.queryExecution().analyzed().toString().count(
+            "ResolvedHint"
+        )
+
+    rng = random.Random(3)
+    rows = list(
+        {
+            (f"v{rng.randrange(15)}", f"v{rng.randrange(15)}")
+            for _ in range(50)
+        }
+    )
+    rows = [(u, v) for u, v in rows if u != v]
+    df = spark.createDataFrame(rows, SCHEMA)
+    gated = triad_census(df, eager=False, broadcast_pairs_max=0)
+    plan_off = gated._sc._jvm.PythonSQLUtils.explainString(
+        gated._jdf.queryExecution(), "formatted"
+    )
+    assert "_c3" in plan_off  # the dyad-bit lookup exists
+    # gated off: strictly fewer broadcast hints (the dyad-table hint is
+    # gone; the remaining ones are 1-row scalars + the 16-row dim)
+    assert _hints(gated) < _hints(triad_census(df, eager=False))
+    got = {r.triad_type: r.n_triads for r in
+           triad_census(df, broadcast_pairs_max=0).collect()}
+    assert got == _brute(rows)
+
+
+def test_triad_census_max_degree_caps_hubs(spark):
+    """max_degree drops mega-hub vertices before counting: the result
+    equals the exact census of the hub-free induced subgraph."""
+    # hub h touches every spoke (degree 6); spokes form a triangle
+    rows = [("h", f"s{i}") for i in range(6)]
+    rows += [("s0", "s1"), ("s1", "s2"), ("s0", "s2")]
+    got = _run_capped(spark, rows, max_degree=5)
+    capped_rows = [(u, v) for u, v in rows if u != "h" and v != "h"]
+    assert got == _brute(capped_rows)
+
+
+def _run_capped(spark, rows, max_degree):
+    df = spark.createDataFrame(rows, SCHEMA)
+    return {
+        r.triad_type: r.n_triads
+        for r in triad_census(df, max_degree=max_degree).collect()
+    }

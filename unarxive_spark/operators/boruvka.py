@@ -65,6 +65,10 @@ def boruvka_forest(
     truncation is identical by construction).  Otherwise runs until no
     inter-component edge remains and raises on ``max_iter`` exhaustion.
     """
+    if fixed_rounds is not None and fixed_rounds < 1:
+        raise ValueError("fixed_rounds must be >= 1")
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
     spark = edges.sparkSession
     ckpt = CheckpointManager(spark, checkpoint_dir)
 
@@ -103,30 +107,46 @@ def boruvka_forest(
             .join(lb, "b")
             .filter(F.col("ca") != F.col("cb"))
         )
-        # argmin incident edge per component: min over the composite
-        # key carries (w, a, b) — decode is a fixed-offset substring
-        incident = inter.select(F.col("ca").alias("c"), "k").unionByName(
-            inter.select(F.col("cb").alias("c"), "k")
+        # argmin incident edge per component: min over a struct keyed
+        # by the composite key CARRIES the edge payload, so the chosen
+        # edges need no join back onto a second evaluation of ``inter``
+        # (the old chosen_k ⋈ inter.distinct shape evaluated the
+        # pair⋈labels pipeline twice per round — guide §2.4)
+        edge_struct = F.struct("k", "a", "b", "w", "ca", "cb").alias("e")
+        incident = inter.select(
+            F.col("ca").alias("c"), edge_struct
+        ).unionByName(inter.select(F.col("cb").alias("c"), edge_struct))
+        # k is unique per pair row, so min(struct) IS the argmin edge;
+        # two components may pick the same edge → distinct
+        chosen = (
+            incident.groupBy("c")
+            .agg(F.min("e").alias("e"))
+            .select("e.a", "e.b", "e.w", "e.ca", "e.cb")
+            .distinct()
+            .select(
+                "a", "b", "w", "ca", "cb",
+                F.lit(it).cast("long").alias("round"),
+            )
+            # ONE materialization per round: sel, the selection count
+            # and the contraction graph all re-scan this
+            .localCheckpoint(eager=True)
         )
-        chosen_k = (
-            incident.groupBy("c").agg(F.min("k").alias("k")).select("k")
-        ).distinct()
-        chosen = chosen_k.join(
-            inter.select("a", "b", "w", "k", "ca", "cb").distinct(), "k"
-        ).select(
-            "a", "b", "w", "ca", "cb", F.lit(it).cast("long").alias("round")
-        )
-        sel = chosen.select("a", "b", "w", "round").localCheckpoint(
-            eager=True
-        )
+        sel = chosen.select("a", "b", "w", "round")
         parts.append(sel)
-        n_sel = sel.count()
+        n_sel = chosen.count()
         if n_sel == 0:
             if fixed_rounds is None:
                 break
             labels = labels  # fixpoint: later fixed rounds change nothing
             continue
-        # contract: hash-min over the selected component graph
+        # contract: hash-min over the selected component graph, with a
+        # POINTER-JUMP leg (lab(lab(x)) joins the label table to
+        # itself) so convergence is O(log chain) passes instead of
+        # O(chain) one-hop propagations (r5 ADVICE: a Borůvka round can
+        # merge a Θ(#components)-long chain). The fixpoint is unchanged
+        # — every leg only propagates already-reachable labels and the
+        # min is monotone — so the final labels (component minima) are
+        # identical.
         cg = chosen.select(
             F.col("ca").alias("x"), F.col("cb").alias("y")
         ).unionByName(
@@ -137,28 +157,51 @@ def boruvka_forest(
                 F.col("comp").alias("x"), F.col("comp").alias("lab")
             )
         ).localCheckpoint(eager=True)
+        lab_t = newlab.schema["lab"].dataType
         for j in range(max_jump):
-            prop = (
+            none_lab = F.lit(None).cast(lab_t).alias("_old")
+            nbr_leg = (
                 cg.join(
                     newlab.withColumnRenamed("x", "y2").withColumnRenamed(
                         "lab", "lab2"
                     ),
                     F.col("y") == F.col("y2"),
                 )
-                .select("x", F.col("lab2").alias("lab"))
-                .unionByName(newlab)
+                .select("x", F.col("lab2").alias("lab"), none_lab)
+            )
+            # self leg doubles as the old-label carrier: the changed
+            # check is then a column diff on the materialized result,
+            # not a second join per pass
+            self_leg = newlab.select(
+                "x", "lab", F.col("lab").alias("_old")
+            )
+            jump_leg = (
+                newlab.alias("ja")
+                .join(
+                    newlab.alias("jb"),
+                    F.col("ja.lab") == F.col("jb.x"),
+                )
+                .select(
+                    F.col("ja.x").alias("x"),
+                    F.col("jb.lab").alias("lab"),
+                    none_lab,
+                )
+            )
+            prop = (
+                nbr_leg.unionByName(self_leg)
+                .unionByName(jump_leg)
                 .groupBy("x")
-                .agg(F.min("lab").alias("lab"))
+                .agg(
+                    F.min("lab").alias("lab"),
+                    F.max("_old").alias("_old"),
+                )
             ).localCheckpoint(eager=True)
             changed = (
-                prop.join(
-                    newlab.withColumnRenamed("lab", "old"), "x"
-                )
-                .filter(F.col("lab") != F.col("old"))
+                prop.filter(F.col("lab") != F.col("_old"))
                 .limit(1)
                 .count()
             )
-            newlab = prop
+            newlab = prop.select("x", "lab")
             if changed == 0:
                 break
         else:

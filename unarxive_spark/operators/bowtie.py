@@ -11,10 +11,12 @@ four-region census as one deterministic row set.
 Dataflow: SCC labels from operators/scc.py (deterministic min-id
 labels), the giant component by (size DESC, comp ASC) — the one
 driver-side scalar — then TWO exact BFS fixpoints (reverse for IN,
-forward for OUT) from the core set, each superstep one join +
-anti-join with state materialized via CheckpointManager.  Reach runs
-to FIXPOINT (frontier empty), not a hop cap, so the census is exact —
-matching the oracle's unbounded recursive-CTE closure.
+forward for OUT) over the CONDENSATION graph (one vertex per SCC,
+one edge per linked SCC pair — a vertex reaches the core iff its SCC
+does), each superstep one join + anti-join with state materialized
+via CheckpointManager.  Reach runs to FIXPOINT (frontier empty), not
+a hop cap, so the census is exact — matching the oracle's unbounded
+recursive-CTE closure.
 """
 
 from __future__ import annotations
@@ -93,15 +95,34 @@ def bowtie_census(
         .limit(1)
         .collect()[0]["component"]
     )  # metadata-sized scalar: the pivot of the whole census
-    core = (
-        comps.filter(F.col("component") == giant)
-        .select("conv_id")
+
+    # Reachability runs on the CONDENSATION (one vertex per SCC, one
+    # edge per linked SCC pair), not the raw graph: a vertex reaches
+    # the core iff its SCC reaches the giant SCC, every BFS hop scans
+    # the (much smaller) component graph, and the hop count is the
+    # condensation-DAG depth instead of the vertex-level BFS depth
+    # (guide §2.3 — shuffle the lightweight proxy, not the data).
+    comps_m = comps.localCheckpoint(eager=True)
+    cu = comps_m.select(
+        F.col("conv_id").alias("u"), F.col("component").alias("cu")
+    )
+    cv = comps_m.select(
+        F.col("conv_id").alias("v"), F.col("component").alias("cv")
+    )
+    ce = (
+        de.join(cu, "u")
+        .join(cv, "v")
+        .filter(F.col("cu") != F.col("cv"))
+        .select(F.col("cu").alias("u"), F.col("cv").alias("v"))
+        .distinct()
         .localCheckpoint(eager=True)
     )
-
-    rev = de.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    reaches_core = _reach_fixpoint(ckpt, rev, core, 0, max_iter)
-    reached_from_core = _reach_fixpoint(ckpt, de, core, 1, max_iter)
+    seed = comps_m.select(F.col("component").alias("conv_id")).filter(
+        F.col("conv_id") == giant
+    ).distinct()
+    rev = ce.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    in_comps = _reach_fixpoint(ckpt, rev, seed, 0, max_iter)
+    out_comps = _reach_fixpoint(ckpt, ce, seed, 1, max_iter)
 
     verts = (
         de.select(F.col("u").alias("conv_id"))
@@ -109,19 +130,23 @@ def bowtie_census(
         .distinct()
     )
     lab = (
-        verts.join(
-            core.withColumn("_c", F.lit(1)), "conv_id", "left"
+        verts.join(comps_m, "conv_id")
+        .join(
+            in_comps.select(
+                F.col("conv_id").alias("component")
+            ).withColumn("_i", F.lit(1)),
+            "component",
+            "left",
         )
         .join(
-            reaches_core.withColumn("_i", F.lit(1)), "conv_id", "left"
-        )
-        .join(
-            reached_from_core.withColumn("_o", F.lit(1)),
-            "conv_id",
+            out_comps.select(
+                F.col("conv_id").alias("component")
+            ).withColumn("_o", F.lit(1)),
+            "component",
             "left",
         )
         .select(
-            F.when(F.col("_c").isNotNull(), F.lit("scc"))
+            F.when(F.col("component") == giant, F.lit("scc"))
             .when(F.col("_i").isNotNull(), F.lit("in"))
             .when(F.col("_o").isNotNull(), F.lit("out"))
             .otherwise(F.lit("other"))

@@ -70,7 +70,8 @@ def connected_components(
 
     resumed = ckpt.last_committed()
     if resumed is not None:
-        labels = ckpt.restore(resumed)
+        # older checkpoints carry 2 columns, newer ones also _old
+        labels = ckpt.restore(resumed).select("conv_id", "component")
         start = resumed + 1
     else:
         labels = vertices.select(
@@ -81,14 +82,29 @@ def connected_components(
     converged = False
     it = start
     for it in range(start, max_iter):
-        # neighbor-min: push each vertex's label to its neighbors
+        # neighbor-min: push each vertex's label to its neighbors; the
+        # self leg doubles as the old-label carrier so the convergence
+        # count is a column diff on the materialized state instead of a
+        # second label-table join per superstep (guide §2.4)
         pushed = adj.join(
             labels.withColumnRenamed("conv_id", "u"), "u"
-        ).select(F.col("v").alias("conv_id"), "component")
+        ).select(
+            F.col("v").alias("conv_id"),
+            "component",
+            F.lit(None)
+            .cast(labels.schema["component"].dataType)
+            .alias("_old"),
+        )
         new_labels = (
-            labels.unionByName(pushed)
+            labels.select(
+                "conv_id", "component", F.col("component").alias("_old")
+            )
+            .unionByName(pushed)
             .groupBy("conv_id")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.max("_old").alias("_old"),
+            )
         )
         if shortcut:
             # label(v) ← label(label(v)): labels are vertex ids, so the
@@ -102,18 +118,17 @@ def connected_components(
                     ),
                     "component",
                 )
-                .select("conv_id", F.col("_jump").alias("component"))
+                .select(
+                    "conv_id", F.col("_jump").alias("component"), "_old"
+                )
             )
         # materialize once, then metric from the cheap re-scan
         new_m = ckpt.write_state(it, new_labels)
         n_changed = (
-            new_m.alias("n")
-            .join(labels.alias("o"), "conv_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
+            new_m.filter(F.col("component") != F.col("_old")).count()
         )
         ckpt.log_lineage(it, new_m, "n_changed", float(n_changed))
-        labels = new_m
+        labels = new_m.select("conv_id", "component")
         if n_changed == 0:
             converged = True
             break

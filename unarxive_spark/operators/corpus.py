@@ -212,8 +212,9 @@ def bm25_scores(
     ``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))`` (the non-negative
     variant).  All counts (tf, df, dl, N) are exact integers; ``avgdl``
     and the score are the only floats.  Plan: one explode+groupBy for
-    per-(doc, term) tf, a terms-sized df aggregate and two 1-row
-    scalars (N, avgdl) joined broadcast — no window, no cartesian."""
+    per-(doc, term) tf, a terms-sized df aggregate (AQE broadcasts it
+    when it fits) and two 1-row scalars (N, avgdl) joined broadcast —
+    no window, no cartesian."""
     if not terms:
         raise ValueError("terms must be non-empty")
     toks = tokens(F.lower(F.col(text_col)))
@@ -258,8 +259,10 @@ def bm25_scores(
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
     )
     contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    # dfreq is vocabulary-sized (unbounded at corpus scale): no forced
+    # broadcast — AQE picks broadcast at runtime when it actually fits
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(scalars)
         .groupBy("id")
         .agg(
@@ -290,8 +293,9 @@ def bigram_pmi(
     oracle and rounded to 6.
 
     Plan: bigram generation is row-local (HOF over the token array);
-    two map-side-combinable groupBy counts, two broadcast unigram-count
-    joins, two 1-row scalar aggregates — no window, no cartesian."""
+    two map-side-combinable groupBy counts, two unigram-count joins
+    (vocabulary-sized: AQE broadcasts them at runtime when they fit),
+    two 1-row scalar aggregates — no window, no cartesian."""
     toks = tokens(F.lower(F.col(text_col)))
     d = df.select(toks.alias("_toks"))
     uni = d.select(F.explode("_toks").alias("t"))
@@ -331,20 +335,18 @@ def bigram_pmi(
             * F.col("c_b")
         )
     )
+    # cu is vocabulary-sized (unbounded at corpus scale): no forced
+    # broadcast — AQE picks broadcast at runtime when it actually fits
     return (
         cb.join(
-            F.broadcast(
-                cu.select(
-                    F.col("t").alias("token_a"), F.col("c").alias("c_a")
-                )
+            cu.select(
+                F.col("t").alias("token_a"), F.col("c").alias("c_a")
             ),
             "token_a",
         )
         .join(
-            F.broadcast(
-                cu.select(
-                    F.col("t").alias("token_b"), F.col("c").alias("c_b")
-                )
+            cu.select(
+                F.col("t").alias("token_b"), F.col("c").alias("c_b")
             ),
             "token_b",
         )
@@ -420,10 +422,12 @@ def kneser_ney_bigram(
         + (F.lit(d) * F.col("n_follow") / F.col("c1"))
         * (F.col("n_prec").cast("double") / F.col("n_types"))
     )
+    # left/prec are vocabulary-sized (unbounded at corpus scale): no
+    # forced broadcast — AQE picks broadcast at runtime when it fits
     return (
         cb.filter(F.col("c12") >= int(min_count))
-        .join(F.broadcast(left), "w1")
-        .join(F.broadcast(prec), "w2")
+        .join(left, "w1")
+        .join(prec, "w2")
         .crossJoin(n_types)
         .select(
             "w1",
@@ -471,8 +475,10 @@ def tfidf_doc_pairs(
             F.count(F.lit(1)).cast("long").alias("n_docs")
         )
     )
+    # dfreq is vocabulary-sized (unbounded at corpus scale): no forced
+    # broadcast — AQE picks broadcast at runtime when it actually fits
     w = (
-        tf.join(F.broadcast(dfreq), "t")
+        tf.join(dfreq, "t")
         .crossJoin(n_docs)
         .select(
             "id",
@@ -653,7 +659,17 @@ def bpe_merges(
     on the wrapped-string state — row-local, no shuffle), repeat.  The
     per-round argmax is the ONLY driver-side value (a 1-row merge
     rule — metadata-sized loop control, the same discipline as the IVF
-    probe list); corpus state is localCheckpointed per round.
+    probe list).
+
+    The tokenized corpus is localCheckpointed ONCE; each learned merge
+    is a cheap row-local ``replace`` CHAINED lazily in front of the
+    next round's count pass instead of being materialized on its own
+    (guide §1.2/§2.4: one full pass per round, not two — replaying the
+    short replace chain over the checkpointed base is far cheaper than
+    writing the whole corpus back out every round, and the learned
+    rules are byte-identical because the composed expression is the
+    same left-to-right replace sequence, exactly as ``bpe_segment``
+    applies it).
 
     Raises if the corpus runs out of adjacent pairs before
     ``n_merges`` rounds (keeps engine and fixed-depth oracle in
@@ -661,9 +677,11 @@ def bpe_merges(
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
     spark = df.sparkSession
-    state = _bpe_state(df, text_col).localCheckpoint(eager=True)
+    base = _bpe_state(df, text_col).localCheckpoint(eager=True)
+    s_col = F.col("s")
     rules = []
     for rank in range(1, int(n_merges) + 1):
+        state = base.select(s_col.alias("s"))
         top = (
             _bpe_pairs(state)
             .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
@@ -678,9 +696,7 @@ def bpe_merges(
         rules.append((rank, a, b, int(c)))
         pat = _BPE_SEP + a + _BPE_SEP + _BPE_SEP + b + _BPE_SEP
         rep = _BPE_SEP + a + b + _BPE_SEP
-        state = state.select(
-            F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s")
-        ).localCheckpoint(eager=True)
+        s_col = F.replace(s_col, F.lit(pat), F.lit(rep))
     return spark.createDataFrame(
         rules,
         "merge_rank int, token_a string, token_b string, pair_count long",
@@ -854,20 +870,18 @@ def skipgram_pmi(
         (F.col("c_ab").cast("double") * F.col("n_uni") * F.col("n_uni"))
         / (F.col("n_pairs").cast("double") * F.col("c_a") * F.col("c_b"))
     )
+    # cu is vocabulary-sized (unbounded at corpus scale): no forced
+    # broadcast — AQE picks broadcast at runtime when it actually fits
     return (
         cp.join(
-            F.broadcast(
-                cu.select(
-                    F.col("t").alias("token_a"), F.col("c").alias("c_a")
-                )
+            cu.select(
+                F.col("t").alias("token_a"), F.col("c").alias("c_a")
             ),
             "token_a",
         )
         .join(
-            F.broadcast(
-                cu.select(
-                    F.col("t").alias("token_b"), F.col("c").alias("c_b")
-                )
+            cu.select(
+                F.col("t").alias("token_b"), F.col("c").alias("c_b")
             ),
             "token_b",
         )

@@ -270,8 +270,19 @@ def ngram_jaccard_pairs(
     prefix_filter: bool = False,
     length_filter: bool = True,
     positional: bool = False,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word k-shingles for pairs sharing ≥1 shingle.
+
+    ``max_df`` (default None = exact) caps posting-list skew: shingles
+    occurring in more than ``max_df`` documents are dropped from the
+    computation entirely, so the reported score is the EXACT Jaccard of
+    the df-capped shingle sets.  A boilerplate shingle shared by
+    millions of documents otherwise costs a df² posting-list self-join
+    while carrying no dedup signal (the same impact-ordered pruning
+    argument as ``tfidf_doc_pairs``); the tradeoff — pairs similar ONLY
+    through capped shingles are missed, and scores shift toward the
+    rare-shingle overlap — is pinned by a fixture test.
 
     Shuffle shape: explode distinct shingles → self-join on shingle
     (inverted index), count shared per pair, |A∪B| = |A|+|B|-shared.
@@ -328,6 +339,14 @@ def ngram_jaccard_pairs(
         .select("id", h64(F.col("_s")).alias("shingle"))
         .distinct()
     )
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= int(max_df))
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     def _join_cond():
@@ -584,8 +603,15 @@ def containment_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Directional near-dup: shingle CONTAINMENT C(A→B) = |A∩B| / |A|.
+
+    ``max_df`` (default None = exact) drops shingles occurring in more
+    than ``max_df`` documents before the posting-list join — the
+    hot-shingle skew cap of :func:`ngram_jaccard_pairs`, with the same
+    documented recall tradeoff (containment is then over the df-capped
+    shingle sets).
 
     Symmetric Jaccard misses the subset case a dedup pipeline cares
     about most — a short document embedded verbatim inside a much longer
@@ -607,6 +633,14 @@ def containment_pairs(
         .select("id", h64(F.col("_s")).alias("shingle"))
         .distinct()
     )
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= int(max_df))
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     shared = (
         sh.alias("l")
@@ -734,6 +768,7 @@ def weighted_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold_e6: int = 200_000,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Weighted (multiset) Jaccard near-dup pairs over word k-shingle
     FREQUENCIES: ``WJ = Σ min(tfA, tfB) / Σ max(tfA, tfB)`` — the
@@ -748,6 +783,12 @@ def weighted_jaccard_pairs(
     float compare anywhere.  The length filter is the weighted analog
     (WJ ≤ min(tot)/max(tot), lossless).  → ``(id_a, id_b, w_shared,
     w_union, wjaccard)`` with wjaccard rounded to 6.
+
+    ``max_df`` (default None = exact) is the hot-shingle skew cap the
+    r5 verdict asked for: shingles occurring in more than ``max_df``
+    documents are dropped BEFORE the posting-list join, so the score is
+    the exact weighted Jaccard of the df-capped multisets (recall
+    tradeoff as in :func:`ngram_jaccard_pairs`, pinned by a fixture).
     """
     from unarxive_spark.functions.texttools import shingles_multi
 
@@ -760,6 +801,14 @@ def weighted_jaccard_pairs(
         .groupBy("id", "shingle")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= int(max_df))
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
     tot = sh.groupBy("id").agg(F.sum("tf").alias("tot"))
     l = sh.join(tot, "id").select(
         F.col("id").alias("id_a"),

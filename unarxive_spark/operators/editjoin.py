@@ -77,7 +77,14 @@ def symspell_join(
         .join(
             keyed.alias("r"),
             (F.col("l.k") == F.col("r.k"))
-            & (F.col("l.s") < F.col("r.s")),
+            & (F.col("l.s") < F.col("r.s"))
+            # lossless length prune: levenshtein >= |len(a) - len(b)|,
+            # applied inside the join so mismatched-length bucket pairs
+            # never reach the distinct (guide §2.3)
+            & (
+                F.abs(F.length(F.col("l.s")) - F.length(F.col("r.s")))
+                <= F.lit(int(max_distance))
+            ),
         )
         .select(F.col("l.s").alias("a"), F.col("r.s").alias("b"))
         .distinct()

@@ -25,6 +25,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from unarxive_spark.functions.hashing import h64
 from unarxive_spark.operators.skew import salted_sum
 from unarxive_spark.sources.checkpoint import CheckpointManager
 
@@ -63,6 +64,16 @@ def hits(
         .filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
+        # both gather salts are pure functions of the edge endpoints:
+        # hash them ONCE on the cached table instead of per superstep
+        # (identical groups → bit-identical partial sums)
+        .select(
+            "src",
+            "dst",
+            "w",
+            F.pmod(h64(F.col("src")), F.lit(n_salts)).alias("_salt_s"),
+            F.pmod(h64(F.col("dst")), F.lit(n_salts)).alias("_salt_d"),
+        )
         .repartition("src")
         .cache()
     )
@@ -92,10 +103,12 @@ def hits(
         # authority step: gather hub mass along edges src→dst
         contrib_a = e.join(
             state.select(F.col("conv_id").alias("src"), "hub"), "src"
-        ).select("src", "dst", (F.col("w") * F.col("hub")).alias("c"))
+        ).select(
+            "dst", (F.col("w") * F.col("hub")).alias("c"), "_salt_s"
+        )
         auth_raw = salted_sum(
             contrib_a, key="dst", value=F.sum("c"), out="a",
-            salt_from="src", n_salts=n_salts,
+            salt_from="src", n_salts=n_salts, salt_col="_salt_s",
         )
         a_sum = auth_raw.agg(
             F.coalesce(F.sum("a"), F.lit(0.0)).alias("_s")
@@ -124,11 +137,11 @@ def hits(
         contrib_h = e.join(
             auth.select(F.col("conv_id").alias("dst"), "authority"), "dst"
         ).select(
-            "src", "dst", (F.col("w") * F.col("authority")).alias("c")
+            "src", (F.col("w") * F.col("authority")).alias("c"), "_salt_d"
         )
         hub_raw = salted_sum(
             contrib_h, key="src", value=F.sum("c"), out="h",
-            salt_from="dst", n_salts=n_salts,
+            salt_from="dst", n_salts=n_salts, salt_col="_salt_d",
         )
         h_sum = hub_raw.agg(
             F.coalesce(F.sum("h"), F.lit(0.0)).alias("_s")

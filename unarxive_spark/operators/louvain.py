@@ -194,14 +194,18 @@ def _local_moves(
                 ).alias("gain"),
             )
         )
-        # argmax gain, tie → min community id: min(struct(-gain, cand))
+        # argmax gain, tie → min community id: min(struct(-gain, cand)),
+        # and the stay gain (the unique cand == comm row, guaranteed by
+        # the injected 0-rows) rides in the SAME aggregation — the old
+        # separate filter+join re-evaluated the whole und⋈state gains
+        # pipeline a second time per round (guide §2.4)
         best = gains.groupBy("conv_id").agg(
             F.min(F.struct((-F.col("gain")).alias("ng"), "cand")).alias(
                 "_b"
-            )
-        )
-        stay = gains.filter(F.col("cand") == F.col("comm")).select(
-            "conv_id", F.col("gain").alias("stay_gain")
+            ),
+            F.max(
+                F.when(F.col("cand") == F.col("comm"), F.col("gain"))
+            ).alias("stay_gain"),
         )
         eligible = (
             F.pmod(h64(F.col("conv_id")), F.lit(2))
@@ -209,7 +213,6 @@ def _local_moves(
         )
         new_state = (
             state.join(best, "conv_id", "left")
-            .join(stay, "conv_id", "left")
             .select(
                 "conv_id",
                 F.when(
@@ -305,11 +308,20 @@ def louvain(
         # contract: communities become super-vertices
         lab_u = state.select(F.col("conv_id").alias("u"), F.col("comm").alias("cu"))
         lab_v = state.select(F.col("conv_id").alias("v"), F.col("comm").alias("cv"))
-        je = und.join(lab_u, "u").join(lab_v, "v")
+        # ONE aggregation of the relabeled edge list serves both the
+        # self-loop weights (cu == cv) and the contracted adjacency
+        # (cu != cv) — the old shape evaluated the und⋈labels double
+        # join twice, once per consumer (guide §2.4)
+        con = (
+            und.join(lab_u, "u")
+            .join(lab_v, "v")
+            .groupBy("cu", "cv")
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=True)
+        )
         intra = (
-            je.filter(F.col("cu") == F.col("cv"))
-            .groupBy(F.col("cu").alias("v"))
-            .agg(F.sum("w").alias("sw"))
+            con.filter(F.col("cu") == F.col("cv"))
+            .select(F.col("cu").alias("v"), F.col("w").alias("sw"))
         )
         carried = (
             selfw.join(
@@ -324,11 +336,8 @@ def louvain(
             .agg(F.sum("sw").alias("sw"))
             .localCheckpoint(eager=True)
         )
-        und = (
-            je.filter(F.col("cu") != F.col("cv"))
-            .groupBy(F.col("cu").alias("u"), F.col("cv").alias("v"))
-            .agg(F.sum("w").alias("w"))
-            .localCheckpoint(eager=True)
+        und = con.filter(F.col("cu") != F.col("cv")).select(
+            F.col("cu").alias("u"), F.col("cv").alias("v"), "w"
         )
         mapping = labels.localCheckpoint(eager=True)
     return LouvainResult(

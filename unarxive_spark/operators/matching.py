@@ -57,6 +57,10 @@ def maximal_matching(
     (no live edge remains → matching is maximal) and raises on
     ``max_iter`` exhaustion — no silent truncation.
     """
+    if fixed_rounds is not None and fixed_rounds < 1:
+        raise ValueError("fixed_rounds must be >= 1")
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
     spark = edges.sparkSession
     ckpt = CheckpointManager(spark, checkpoint_dir)
 
@@ -99,15 +103,18 @@ def maximal_matching(
                 F.lit(it).cast("long").alias("round"),
             )
         )
-        ends = matched.select(F.col("conv_a").alias("conv_id")).unionByName(
-            matched.select(F.col("conv_b").alias("conv_id"))
-        )
+        # materialize the round's matches ONCE, then derive the live-set
+        # update from the checkpointed result — the old order evaluated
+        # the whole ladj⋈props⋈props pipeline twice per round (once for
+        # new_live, once for the parts checkpoint — guide §2.4)
+        matched_m = matched.localCheckpoint(eager=True)
+        parts.append(matched_m)
+        ends = matched_m.select(
+            F.col("conv_a").alias("conv_id")
+        ).unionByName(matched_m.select(F.col("conv_b").alias("conv_id")))
         new_live = ckpt.write_state(
             it, live.join(ends, "conv_id", "left_anti")
         )
-        # matched parts are evaluated once here (lineage truncation) so
-        # adj can be unpersisted before the caller collects the union
-        parts.append(matched.localCheckpoint(eager=True))
         if fixed_rounds is None:
             # convergence mode: stop when no live edge remains
             n_live_edges = (

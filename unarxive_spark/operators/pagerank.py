@@ -35,6 +35,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from unarxive_spark.functions.hashing import h64
 from unarxive_spark.operators.skew import salted_sum
 from unarxive_spark.sources.checkpoint import CheckpointManager
 
@@ -125,13 +126,19 @@ def pagerank(
 
     w = F.col("weight") if weighted else F.lit(1.0)
     out_norm = edges.groupBy("src_conv_id").agg(F.sum(w).alias("out_w"))
-    # transition probability per edge, fixed across iterations
+    # transition probability per edge, fixed across iterations; the
+    # gather salt is a pure function of src, so it is hashed ONCE here
+    # instead of md5-ing every edge every superstep (identical groups →
+    # bit-identical partial sums)
     edges_norm = (
         edges.join(out_norm, "src_conv_id")
         .select(
             F.col("src_conv_id").alias("src"),
             F.col("dst_conv_id").alias("dst"),
             (w / F.col("out_w")).alias("p"),
+            F.pmod(h64(F.col("src_conv_id")), F.lit(n_salts)).alias(
+                "_salt"
+            ),
         )
         .repartition("src")
         .cache()
@@ -184,10 +191,12 @@ def pagerank(
                     F.col("conv_id").alias("src"), "rank"
                 ),
                 "src",
-            ).select("src", "dst", (F.col("p") * F.col("rank")).alias("c"))
+            ).select(
+                "dst", (F.col("p") * F.col("rank")).alias("c"), "_salt"
+            )
             gathered = salted_sum(
                 contribs, key="dst", value=F.sum("c"), out="g",
-                salt_from="src", n_salts=n_salts,
+                salt_from="src", n_salts=n_salts, salt_col="_salt",
             )
             # Dangling mass: filter + 1-row aggregate over the CURRENT
             # state (the has_out flag rides in the state rows — no join),
@@ -207,8 +216,16 @@ def pagerank(
                 ).otherwise(F.lit(0.0))
             else:
                 p_v = F.lit(1.0 / n)
+            # The state rows ARE the vertex set (invariant from init),
+            # so building the new state from the old one carries the
+            # previous rank along for free — the convergence delta then
+            # becomes a column diff over the materialized state instead
+            # of a second vertex-table join per superstep (guide §2.4).
             new_ranks = (
-                vertices.join(
+                ranks.select(
+                    "conv_id", F.col("rank").alias("_prev"), "has_out"
+                )
+                .join(
                     gathered.withColumnRenamed("dst", "conv_id"),
                     "conv_id",
                     "left",
@@ -225,6 +242,7 @@ def pagerank(
                         + F.lit(damping) * F.coalesce(F.col("g"), F.lit(0.0))
                     ).alias("rank"),
                     "has_out",
+                    "_prev",
                 )
             )
             # Materialize the superstep exactly once (plan truncation +
@@ -235,12 +253,9 @@ def pagerank(
             new_ranks_m = ckpt.write_state(it, new_ranks)
             if tol >= 0:
                 delta = float(
-                    new_ranks_m.alias("nr")
-                    .join(ranks.alias("o"), "conv_id")
-                    .agg(
-                        F.max(F.abs(F.col("nr.rank") - F.col("o.rank")))
-                    )
-                    .collect()[0][0]
+                    new_ranks_m.agg(
+                        F.max(F.abs(F.col("rank") - F.col("_prev")))
+                    ).collect()[0][0]
                 )
             else:
                 delta = float("inf")

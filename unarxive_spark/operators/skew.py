@@ -31,6 +31,7 @@ def salted_sum(
     out: str,
     salt_from: str,
     n_salts: int = 16,
+    salt_col: str | None = None,
 ) -> DataFrame:
     """Two-stage skew-resistant ``groupBy(key).agg(sum(value) as out)``.
 
@@ -42,9 +43,19 @@ def salted_sum(
     portable hashing only in oracle-checked paths) — the salt never
     reaches output values, but a portable partial-sum grouping keeps the
     double-summation order deterministic across engines/runs.
+
+    ``salt_col`` names a PRECOMPUTED ``pmod(h64(salt_from), n_salts)``
+    column: iterative callers (PageRank/HITS) hash the salt source once
+    on the cached edge table instead of re-running md5 over every edge
+    every superstep (guide §2.3 — narrower per-row work before the
+    exchange). The groups are identical by construction, so the partial
+    sums (and therefore the results) are bit-for-bit unchanged.
     """
-    salted = df.withColumn(
-        "_salt", F.pmod(h64(F.col(salt_from)), F.lit(n_salts))
-    )
+    if salt_col is None:
+        salted = df.withColumn(
+            "_salt", F.pmod(h64(F.col(salt_from)), F.lit(n_salts))
+        )
+    else:
+        salted = df.withColumnRenamed(salt_col, "_salt")
     partial = salted.groupBy(key, "_salt").agg(value.alias(out))
     return partial.groupBy(key).agg(F.sum(out).alias(out))

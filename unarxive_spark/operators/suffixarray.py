@@ -105,9 +105,26 @@ def suffix_ranks(
     longest document — the max-length scalar is collected anyway.  An
     explicit int raises if any document has ≥ ``2^rounds`` tokens —
     ranks would then compare a truncated prefix and silently conflate
-    distinct suffixes."""
+    distinct suffixes.
+
+    Doubling STOPS EARLY (both modes) once the rank partition is
+    stable: dense ranks mean the class count is ``max(r)``, classes
+    only ever split, and the textbook prefix-doubling invariant says a
+    partition unrefined by one doubling step is unrefined by every
+    later one — so a round that leaves ``max(r)`` unchanged would have
+    produced a bit-identical table, as would all rounds after it
+    (checked by ``tests/test_suffixarray``'s full-depth comparison).
+    At stability, equal rank ⟺ identical full suffix (content AND
+    remaining length — the −1 pad splits unequal lengths before any
+    stable round), which is exactly the ``final`` contract.  The class
+    count rides on the per-round checkpoint scan; a fully-unique
+    partition (``max(r) == #positions``) skips the confirming round
+    too."""
     pos, lens = _token_positions(df, text_col, id_col)
-    max_len = lens.agg(F.max("len")).collect()[0][0] or 0
+    max_len, n_pos = lens.agg(
+        F.max("len"), F.coalesce(F.sum("len"), F.lit(0))
+    ).collect()[0]
+    max_len = max_len or 0
     if rounds == "auto":
         rounds = max(1, int(max_len).bit_length())
     if max_len >= (1 << rounds):
@@ -120,8 +137,13 @@ def suffix_ranks(
         .select("d", "i", "r")
         .localCheckpoint(eager=True)
     )
+    n_classes = (
+        state.agg(F.coalesce(F.max("r"), F.lit(0))).collect()[0][0]
+    )
     per_round = [state]  # per_round[k]: ranks of 2^k-token blocks
     for k in range(rounds):
+        if n_classes == n_pos:
+            break  # every suffix already in its own class
         b = 1 << k
         shifted = state.select(
             "d",
@@ -132,13 +154,20 @@ def suffix_ranks(
             state.join(shifted, ["d", "i"], "left")
             .withColumn("_r2", F.coalesce("_r2", F.lit(-1)))
         )
-        state = (
+        new_state = (
             _global_dense_ranks(
                 paired.withColumnRenamed("r", "_r1"), ["_r1", "_r2"], "r"
             )
             .select("d", "i", "r")
             .localCheckpoint(eager=True)
         )
+        new_classes = (
+            new_state.agg(F.coalesce(F.max("r"), F.lit(0))).collect()[0][0]
+        )
+        if new_classes == n_classes:
+            break  # stable partition: the new table is bit-identical
+        state = new_state
+        n_classes = new_classes
         per_round.append(state)
     return state, per_round, lens
 
@@ -157,17 +186,26 @@ def _adjacent_lcps(
     LCP by binary lifting: walk ``k = rounds-1 .. 0`` and extend by
     ``2^k`` whenever both suffixes still have a COMPLETE ``2^k`` block
     (``off + 2^k <= len``) and the blocks' round-k ranks agree — one
-    bounded pair of left joins per k, never a token loop."""
+    bounded pair of left joins per k, never a token loop.
+
+    With the stable-partition early stop in :func:`suffix_ranks`, an
+    IDENTICAL pair (equal final rank ⟺ identical suffix, content and
+    remaining length) short-circuits to ``lcp = plen − pi`` directly,
+    and every NON-identical pair has ``lcp ≤ 2^(rounds_run) − 1`` —
+    exactly the range the truncated lifting walk covers — so the
+    result is unchanged while the walk skips the high-k rounds the
+    full-depth construction would have spent joins on."""
     final, per_round, lens = suffix_ranks(
         df, rounds=rounds, text_col=text_col, id_col=id_col
     )
     sa = _global_dense_ranks(final, ["r", "d", "i"], "sa").select(
-        "d", "i", "sa"
+        "d", "i", "r", "sa"
     )
     nxt = sa.select(
         (F.col("sa") - 1).alias("sa"),
         F.col("d").alias("qd"),
         F.col("i").alias("qi"),
+        F.col("r").alias("_qr"),
     )
     pairs = (
         sa.join(nxt, "sa")
@@ -176,10 +214,16 @@ def _adjacent_lcps(
             F.col("i").alias("pi"),
             "qd",
             "qi",
+            (F.col("r") == F.col("_qr")).alias("_eq"),
         )
         .join(lens.select(F.col("d").alias("pd"), F.col("len").alias("plen")), "pd")
         .join(lens.select(F.col("d").alias("qd"), F.col("len").alias("qlen")), "qd")
-        .withColumn("lcp", F.lit(0).cast("long"))
+        .withColumn(
+            "lcp",
+            F.when(F.col("_eq"), F.col("plen") - F.col("pi"))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
         .withColumn("cp", F.col("pi"))
         .withColumn("cq", F.col("qi"))
     )
@@ -201,7 +245,8 @@ def _adjacent_lcps(
             .join(rq, ["qd", "cq"], "left")
         )
         ok = (
-            (F.col("cp") + b <= F.col("plen"))
+            (~F.col("_eq"))
+            & (F.col("cp") + b <= F.col("plen"))
             & (F.col("cq") + b <= F.col("qlen"))
             & F.col("_rp").isNotNull()
             & F.col("_rq").isNotNull()
@@ -217,6 +262,7 @@ def _adjacent_lcps(
                 "pi",
                 "qd",
                 "qi",
+                "_eq",
                 "plen",
                 "qlen",
                 (F.col("lcp") + F.col("_step")).alias("lcp"),

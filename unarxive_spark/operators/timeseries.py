@@ -98,14 +98,22 @@ def ewma_smooth(
     """
     if window < 2:
         raise ValueError("window must be >= 2")
+    # the non-negative precondition is load-bearing (the half-up
+    # identity truncates toward zero for negative numerators): enforce
+    # it in-plan instead of trusting the docstring (r5 ADVICE)
+    x_ok = F.assert_true(
+        _x_e6(value_col) >= 0,
+        F.lit("ewma_smooth: values must be non-negative"),
+    )
+    x_checked = F.when(x_ok.isNull(), _x_e6(value_col))
     w = Window.partitionBy(key_col).orderBy(*order_cols)
     frame = w.rowsBetween(-(window - 1), Window.currentRow)
     base = events.select(
         F.col(key_col),
         F.col(id_col).alias("event_id"),
         F.row_number().over(w).alias("rn"),
-        _x_e6(value_col).alias("x_e6"),
-        F.collect_list(_x_e6(value_col)).over(frame).alias("arr"),
+        x_checked.alias("x_e6"),
+        F.collect_list(x_checked).over(frame).alias("arr"),
     )
 
     def _weighted(acc, x):

@@ -22,8 +22,10 @@ count is an exact int64, so the DuckDB oracle (which brute-forces all
 engine's plan) reproduces the census bit-for-bit.
 
 Hub caveat: the wedge volume Σd² is the inherent cost of an exact
-census; at 100 TB a mega-hub needs the same degree-cap/sampling
-treatment the dedup family documents — not silently applied here.
+census; ``max_degree`` (off by default — the default census is exact)
+drops mega-hub vertices from the graph before counting, the same
+degree-cap treatment as ``cocitation.adamic_adar`` — the census is then
+the exact census of the hub-capped subgraph, stated as such.
 """
 
 from __future__ import annotations
@@ -174,7 +176,12 @@ TRIAD_DIM: list[tuple[int, str, int, int, int]] = [
 ]
 
 
-def triad_census(edges: DataFrame, eager: bool = True) -> DataFrame:
+def triad_census(
+    edges: DataFrame,
+    eager: bool = True,
+    max_degree: int | None = None,
+    broadcast_pairs_max: int = 4_000_000,
+) -> DataFrame:
     """16-row census → ``(triad_type string, n_triads long)``.
 
     No triple-level ``distinct`` and no per-pair aggregation: every
@@ -188,6 +195,17 @@ def triad_census(edges: DataFrame, eager: bool = True) -> DataFrame:
     where ``C_T = Σ_class count · g_T`` re-uses the census itself for
     the Σ-common term — no second data-sized shuffle.
 
+    ``max_degree`` drops vertices whose undirected neighbor count
+    exceeds the cap BEFORE counting (default None = exact census):
+    the Σd² wedge volume is then bounded by |V|·max_degree².
+
+    The dyad table is data-sized (one row per linked pair), so its
+    three bit-lookup joins are broadcast ONLY when the measured pair
+    count is ≤ ``broadcast_pairs_max`` (the cached table is counted
+    anyway); above the bound they are plain equi-joins and AQE picks
+    the strategy from real sizes — a forced broadcast of an O(E) table
+    would OOM executors at scale (r5 verdict finding #1).
+
     ``eager=False`` skips the final localCheckpoint (and the dyad-table
     unpersist) so plan-shape tests can inspect the real dataflow."""
     spark = edges.sparkSession
@@ -198,6 +216,21 @@ def triad_census(edges: DataFrame, eager: bool = True) -> DataFrame:
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    if max_degree is not None:
+        und0 = de.select("u", "v").unionByName(
+            de.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        hubs = (
+            und0.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") > int(max_degree))
+            .select("u")
+        )
+        de = (
+            de.join(hubs, "u", "left_anti")
+            .join(hubs.withColumnRenamed("u", "v"), "v", "left_anti")
+            .select("u", "v")
+        )
     lp = (
         de.select(
             F.least("u", "v").alias("a"),
@@ -209,9 +242,13 @@ def triad_census(edges: DataFrame, eager: bool = True) -> DataFrame:
         .agg(F.max("f").alias("fwd"), F.max("w").alias("bwd"))
         .cache()
     )
+    # one cheap count over the cached dyad table gates the broadcast
+    # hint (and warms the cache for its four consumers)
+    n_pairs = lp.count()
+    small_pairs = n_pairs <= int(broadcast_pairs_max)
     nbr = de.select("u", "v").unionByName(
         de.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    ).distinct().cache()
     deg = nbr.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     n_row = F.broadcast(
         deg.agg(
@@ -219,45 +256,104 @@ def triad_census(edges: DataFrame, eager: bool = True) -> DataFrame:
         )
     )
 
-    cand = (
-        lp.select("a", "b")
-        .join(nbr.withColumnRenamed("u", "a"), "a")
-        .select("a", "b", F.col("v").alias("w"))
-        .unionByName(
-            lp.select("a", "b")
-            .join(nbr.withColumnRenamed("u", "b"), "b")
-            .select("a", "b", F.col("v").alias("w"))
+    # Candidate generation CARRIES the dyad bits it already knows: the
+    # generating pair (a,b) rides on lp, and the adjacency edge that
+    # produced w is itself a linked pair, so joining against the
+    # bit-augmented neighbor view (``nbrb``) hands each candidate TWO
+    # of its three dyad codes for free.  Only the opposite pair needs a
+    # lookup — ONE equi-join over the Σd² wedge table instead of the
+    # three the r5 plan paid (guide §2.4).  Slot arithmetic is
+    # row-local: a pair's code contribution is ``(fwd + 2·bwd) · m``
+    # with m ∈ {1, 4, 16} by the pair's slot in the sorted triple, and
+    # since the three pairs occupy the three slots exactly once the
+    # third multiplier is ``21 − m₁ − m₂``.
+    nbrb = lp.select(
+        F.col("a").alias("u"), F.col("b").alias("v"), "fwd", "bwd"
+    ).unionByName(
+        lp.select(
+            F.col("b").alias("u"), F.col("a").alias("v"), "fwd", "bwd"
         )
-        .filter((F.col("w") != F.col("a")) & (F.col("w") != F.col("b")))
-    )
-    triples = cand.select(
-        F.least("a", "b", "w").alias("x"),
-        F.array_sort(F.array("a", "b", "w"))[1].alias("y"),
-        F.greatest("a", "b", "w").alias("z"),
     )
 
-    def _bits(pair_a: str, pair_b: str, shift: int) -> DataFrame:
-        return F.broadcast(
+    def _mult(p, q):
+        """Slot multiplier of the canonical pair (min(p,q), max(p,q))
+        within the sorted triple (x, y, z): (x,y)→1, (x,z)→4, (y,z)→16."""
+        pmin, pmax = F.least(p, q), F.greatest(p, q)
+        return (
+            F.when((pmin == F.col("x")) & (pmax == F.col("y")), F.lit(1))
+            .when(pmin == F.col("x"), F.lit(4))
+            .otherwise(F.lit(16))
+            .cast("long")
+        )
+
+    def _leg(end: str) -> DataFrame:
+        other = "b" if end == "a" else "a"
+        return (
             lp.select(
-                F.col("a").alias(pair_a),
-                F.col("b").alias(pair_b),
-                (F.col("fwd") * (1 << shift)).alias(f"_f{shift}"),
-                (F.col("bwd") * (2 << shift)).alias(f"_b{shift}"),
+                "a",
+                "b",
+                (F.col("fwd") + 2 * F.col("bwd")).alias("_c_ab"),
+            )
+            .join(
+                nbrb.select(
+                    F.col("u").alias(end),
+                    F.col("v").alias("w"),
+                    (F.col("fwd") + 2 * F.col("bwd")).alias("_c_ew"),
+                ),
+                end,
+            )
+            .filter((F.col("w") != F.col("a")) & (F.col("w") != F.col("b")))
+            .select(
+                "a",
+                "b",
+                "w",
+                "_c_ab",
+                "_c_ew",
+                F.col(end).alias("_e"),
+                F.col(other).alias("_o"),
             )
         )
 
-    coded = (
-        triples.join(_bits("x", "y", 0), ["x", "y"], "left")
-        .join(_bits("x", "z", 2), ["x", "z"], "left")
-        .join(_bits("y", "z", 4), ["y", "z"], "left")
-        .select(
-            (
-                sum(
-                    F.coalesce(F.col(c), F.lit(0))
-                    for c in ("_f0", "_b0", "_f2", "_b2", "_f4", "_b4")
-                )
-            ).cast("long").alias("code")
-        )
+    cand = _leg("a").unionByName(_leg("b"))
+    known = cand.select(
+        F.least("a", "b", "w").alias("x"),
+        F.array_sort(F.array("a", "b", "w"))[1].alias("y"),
+        F.greatest("a", "b", "w").alias("z"),
+        # third pair = (other endpoint, w); its slot multiplier is the
+        # one the two known pairs leave over
+        F.least("_o", "w").alias("ta"),
+        F.greatest("_o", "w").alias("tb"),
+        "a",
+        "b",
+        "_e",
+        "w",
+        "_c_ab",
+        "_c_ew",
+    ).select(
+        "ta",
+        "tb",
+        (
+            F.col("_c_ab") * _mult(F.col("a"), F.col("b"))
+            + F.col("_c_ew") * _mult(F.col("_e"), F.col("w"))
+        ).alias("_c_known"),
+        (
+            F.lit(21)
+            - _mult(F.col("a"), F.col("b"))
+            - _mult(F.col("_e"), F.col("w"))
+        ).alias("_m3"),
+    )
+
+    third = lp.select(
+        F.col("a").alias("ta"),
+        F.col("b").alias("tb"),
+        (F.col("fwd") + 2 * F.col("bwd")).alias("_c3"),
+    )
+    third = F.broadcast(third) if small_pairs else third
+    coded = known.join(third, ["ta", "tb"], "left").select(
+        (
+            F.col("_c_known")
+            + F.coalesce(F.col("_c3"), F.lit(0)) * F.col("_m3")
+        ).cast("long").alias("code")
     )
     canon = F.expr(canonical_sql_expr("code", "spark"))
     dim = F.broadcast(
@@ -381,4 +477,5 @@ def triad_census(edges: DataFrame, eager: bool = True) -> DataFrame:
     if eager:
         out = out.localCheckpoint(eager=True)
         lp.unpersist()
+        nbr.unpersist()
     return out
