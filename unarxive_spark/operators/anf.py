@@ -153,14 +153,32 @@ def anf(
     prev_pop = -1
     converged = False
     it = 0
+    # Delta propagation (guide §2.3 — shuffle fewer bytes): the merge
+    # is a monotone bit_or, so a vertex whose sketch did NOT change in
+    # round t contributes nothing new in round t+1 (its in-neighbors
+    # absorbed the identical bitmaps in round t already).  Only the
+    # CHANGED sketches are pulled; the state leg of the union carries
+    # every vertex forward, so the per-round result is bit-identical
+    # to the full pull by induction.  Changed-ness rides in the state
+    # as ``_oldpop`` (bit_or is monotone, so changed ⇔ popcount grew)
+    # — a column filter on the materialized re-scan, no extra join.
+    delta = state  # round 0 pulls everything: every sketch is "new"
     for it in range(max_iter):
         pulled = adj.join(
-            state.withColumnRenamed("conv_id", "v"), "v"
-        ).select(F.col("u").alias("conv_id"), *reg_cols)
+            delta.withColumnRenamed("conv_id", "v"), "v"
+        ).select(
+            F.col("u").alias("conv_id"),
+            *reg_cols,
+            F.lit(None).cast("long").alias("_oldpop"),
+        )
         new_state = (
-            state.unionByName(pulled)
+            state.select("conv_id", *reg_cols, pop.cast("long").alias("_oldpop"))
+            .unionByName(pulled)
             .groupBy("conv_id")
-            .agg(*[F.bit_or(c).alias(c) for c in reg_cols])
+            .agg(
+                *[F.bit_or(c).alias(c) for c in reg_cols],
+                F.max("_oldpop").alias("_oldpop"),
+            )
         )
         new_m = ckpt.write_state(it, new_state)
         # ONE action per superstep: both metrics from the same aggregate
@@ -171,9 +189,12 @@ def anf(
         popcount = row["p"]
         neighborhood.append(row["s"])
         ckpt.log_lineage(it, new_m, "total_popcount", float(popcount))
-        state = new_m
+        state = new_m.select("conv_id", *reg_cols)
+        delta = new_m.filter(pop.cast("long") != F.col("_oldpop")).select(
+            "conv_id", *reg_cols
+        )
         if keep_states:
-            states.append(new_m)
+            states.append(state)
         if popcount == prev_pop:
             converged = True
             break

@@ -557,9 +557,20 @@ def duplicate_spans(
             F.concat_ws(" ", F.slice(toks, i + 1, F.lit(window)))
         ),
     )
-    wins = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(win_hashes).alias("pos", "wh"),
+    # window hashing is O(tokens × window) md5 work and feeds THREE
+    # consumers (dup set, flag semi-join, per-doc totals) — widen the
+    # one-split small-file scan to the session parallelism and
+    # materialize the hash table ONCE so the transform is not
+    # re-evaluated per consumer (guide §2.5, §2.4; the hash table is
+    # one 3-column row per token position — the same row scale any
+    # token-level op already shuffles)
+    wins = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(win_hashes).alias("pos", "wh"),
+        )
+        .localCheckpoint(eager=True)
     )
     dup_hashes = (
         wins.groupBy("wh")
@@ -677,7 +688,17 @@ def bpe_merges(
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
     spark = df.sparkSession
-    base = _bpe_state(df, text_col).localCheckpoint(eager=True)
+    # a few-MB parquet input is ONE split, and the checkpointed state
+    # inherits it — every pair-count pass would then explode the whole
+    # corpus on one core (measured 6.4 s/pass → 1.5 s at sf0.1).  Widen
+    # to the session parallelism before materializing (guide §2.5
+    # input skew / §6 split sizing; no-op at real scale where the scan
+    # is already wide).
+    base = (
+        _bpe_state(df, text_col)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
     s_col = F.col("s")
     rules = []
     for rank in range(1, int(n_merges) + 1):

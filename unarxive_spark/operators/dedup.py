@@ -793,6 +793,9 @@ def weighted_jaccard_pairs(
     from unarxive_spark.functions.texttools import shingles_multi
 
     t_e6 = int(threshold_e6)
+    # same fan-out as ngram_jaccard_pairs: a few-MB parquet input is one
+    # split, and the shingle explode's map side would run on one core
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sh = (
         df.select(
             F.col(id_col).alias("id"),

@@ -14,6 +14,13 @@ Spark shape: the R simulations run CONCURRENTLY as one dataflow keyed
 by ``sim`` — live edges = edges × sims filtered by the hash coin,
 frontier supersteps are one (sim, vertex)-keyed join + anti-join +
 union per hop, state materialized once per hop via CheckpointManager.
+Each hop expands ONLY the newly-reached frontier (an ``_hop`` column
+rides in the state so the frontier is a free filter on the
+materialized re-scan): edges out of earlier-reached vertices were
+already expanded the hop they entered, so joining the full reached
+set again every hop (the r5 shape) does strictly redundant work —
+same reached set, O(frontier) instead of O(reached) join input per
+hop (guide §2.3; the frontier discipline of operators/bfs.py).
 At 100 TB the sim key multiplies the edge table R times but each
 superstep is still a single hash-partitioned equi-join on (sim, src) —
 the same gather shape as multi-source BFS (operators/bfs.py).
@@ -80,17 +87,21 @@ def ic_influence_spread(
     seeds = verts.orderBy(
         h64(F.col("conv_id"), salt="icseed|"), F.col("conv_id")
     ).limit(n_seeds)
-    reached = seeds.crossJoin(F.broadcast(sims)).select("sim_id", "conv_id")
+    reached = seeds.crossJoin(F.broadcast(sims)).select(
+        "sim_id", "conv_id", F.lit(0).alias("_hop")
+    )
 
     for hop in range(hops):
+        frontier = reached.filter(F.col("_hop") == hop)
         new = (
             live.join(
-                reached.withColumnRenamed("conv_id", "src_conv_id"),
+                frontier.withColumnRenamed("conv_id", "src_conv_id"),
                 ["sim_id", "src_conv_id"],
             )
             .select("sim_id", F.col("dst_conv_id").alias("conv_id"))
             .distinct()
             .join(reached, ["sim_id", "conv_id"], "left_anti")
+            .select("sim_id", "conv_id", F.lit(hop + 1).alias("_hop"))
         )
         reached = ckpt.write_state(hop, reached.unionByName(new))
 

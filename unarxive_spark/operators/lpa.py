@@ -69,7 +69,8 @@ def label_propagation(
 
     resumed = ckpt.last_committed()
     if resumed is not None:
-        labels = ckpt.restore(resumed)
+        # older checkpoints carry 2 columns, newer ones also _old
+        labels = ckpt.restore(resumed).select("conv_id", "label")
         start = resumed + 1
     else:
         labels = vertices.select("conv_id", F.col("conv_id").alias("label"))
@@ -91,26 +92,24 @@ def label_propagation(
             F.min(F.struct((-F.col("tw")).alias("nw"), F.col("label"))).alias(
                 "m"
             )
-        ).select("conv_id", F.col("m.label").alias("label"))
-        new_labels = (
-            vertices.join(winner, "conv_id", "left")
-            .join(
-                labels.withColumnRenamed("label", "old_label"), "conv_id"
-            )
-            .select(
-                "conv_id",
-                F.coalesce(F.col("label"), F.col("old_label")).alias("label"),
-            )
+        ).select("conv_id", F.col("m.label").alias("_win"))
+        # the state rows ARE the vertex set (invariant from init), so
+        # the winner left-joins onto the state directly — no vertices
+        # re-join — and the carried old label makes the change count a
+        # column diff on the materialized state instead of a second
+        # label-table join per superstep (guide §2.4; the same fusion
+        # as connected_components)
+        new_labels = labels.join(winner, "conv_id", "left").select(
+            "conv_id",
+            F.coalesce(F.col("_win"), F.col("label")).alias("label"),
+            F.col("label").alias("_old"),
         )
         new_m = ckpt.write_state(it, new_labels)
         n_changed = (
-            new_m.alias("n")
-            .join(labels.alias("o"), "conv_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+            new_m.filter(F.col("label") != F.col("_old")).count()
         )
         ckpt.log_lineage(it, new_m, "n_changed", float(n_changed))
-        labels = new_m
+        labels = new_m.select("conv_id", "label")
 
     return LPAResult(labels, it + 1 if n_iter > start else 0)
 
@@ -174,25 +173,31 @@ def seeded_label_propagation(
             )
             .select("conv_id", F.col("m.label").alias("_win"))
         )
+        # state rows ARE the vertex set (init builds them from
+        # vertices), so winner + anchors left-join onto the state
+        # directly — no vertices re-join — and the carried old label
+        # fuses the change count into a column diff on the
+        # materialized state (guide §2.4)
         new_labels = (
-            vertices.join(winner, "conv_id", "left")
+            labels.select(
+                "conv_id", F.col("label").alias("_old")
+            )
+            .join(winner, "conv_id", "left")
             .join(anchors, "conv_id", "left")
             .select(
                 "conv_id",
                 F.coalesce(F.col("_seed"), F.col("_win")).alias("label"),
+                "_old",
             )
         )
         new_m = ckpt.write_state(it, new_labels)
         n_changed = (
-            new_m.alias("n")
-            .join(labels.alias("o"), "conv_id")
-            .filter(
-                ~F.col("n.label").eqNullSafe(F.col("o.label"))
-            )
-            .count()
+            new_m.filter(
+                ~F.col("label").eqNullSafe(F.col("_old"))
+            ).count()
         )
         ckpt.log_lineage(it, new_m, "n_changed", float(n_changed))
-        labels = new_m
+        labels = new_m.select("conv_id", "label")
         if n_changed == 0:
             break
     anchors.unpersist()

@@ -21,11 +21,17 @@ and itself proposes one of them — that pair always shakes hands, so
 every round matches at least one edge and convergence implies
 maximality.
 
-Spark shape per round: two semi-joins to restrict the cached adjacency
-to live endpoints, ONE min-aggregate for the proposals, ONE self-join
-for the handshake; live set materialized once per round via
-CheckpointManager, metric from the re-scan. No window, no cartesian,
-no driver-side data collect.
+Spark shape per round: the LIVE ADJACENCY itself is the checkpointed
+state — two anti-joins against the (tiny) matched-endpoint set shrink
+it in place, ONE min-aggregate for the proposals, ONE self-join for
+the handshake.  The r5 shape instead kept the live VERTEX set as
+state and re-restricted the full cached adjacency with two semi-joins
+every round (plus two more for the convergence probe) — O(E) work per
+round regardless of how much of the graph was already matched; with
+the adjacency as state each round touches only the still-live edges
+and the convergence probe is a ``limit(1)`` count on the already-
+materialized state (guide §2.3/§2.4).  No window, no cartesian, no
+driver-side data collect.
 """
 
 from __future__ import annotations
@@ -66,7 +72,6 @@ def maximal_matching(
 
     adj = undirected(edges).repartition("u").cache()
     adj.count()
-    live = adj.select(F.col("u").alias("conv_id")).distinct()
 
     prio = F.concat(
         F.lower(F.lpad(F.hex(h64(F.col("v"), salt=salt)), 15, "0")),
@@ -76,12 +81,11 @@ def maximal_matching(
 
     rounds = fixed_rounds if fixed_rounds is not None else max_iter
     parts: list[DataFrame] = []
+    # the live adjacency (edges whose endpoints are both unmatched) IS
+    # the state; a vertex leaves the live set exactly when matched, so
+    # removing all edges incident to matched endpoints keeps it exact
+    ladj = adj
     for it in range(rounds):
-        lv = live.select("conv_id")
-        # adjacency restricted to live endpoints on both sides
-        ladj = adj.join(
-            lv.withColumnRenamed("conv_id", "u"), "u", "left_semi"
-        ).join(lv.withColumnRenamed("conv_id", "v"), "v", "left_semi")
         props = (
             ladj.select("u", prio.alias("__p"))
             .groupBy("u")
@@ -103,39 +107,33 @@ def maximal_matching(
                 F.lit(it).cast("long").alias("round"),
             )
         )
-        # materialize the round's matches ONCE, then derive the live-set
-        # update from the checkpointed result — the old order evaluated
-        # the whole ladj⋈props⋈props pipeline twice per round (once for
-        # new_live, once for the parts checkpoint — guide §2.4)
+        # materialize the round's matches ONCE, then derive the live-
+        # adjacency update from the checkpointed result — evaluating
+        # the props⋈props pipeline once per consumer would double the
+        # round (guide §2.4)
         matched_m = matched.localCheckpoint(eager=True)
         parts.append(matched_m)
         ends = matched_m.select(
             F.col("conv_a").alias("conv_id")
         ).unionByName(matched_m.select(F.col("conv_b").alias("conv_id")))
-        new_live = ckpt.write_state(
-            it, live.join(ends, "conv_id", "left_anti")
+        new_ladj = ckpt.write_state(
+            it,
+            ladj.join(
+                ends.withColumnRenamed("conv_id", "u"), "u", "left_anti"
+            ).join(
+                ends.withColumnRenamed("conv_id", "v"), "v", "left_anti"
+            ),
         )
         if fixed_rounds is None:
-            # convergence mode: stop when no live edge remains
-            n_live_edges = (
-                adj.join(
-                    new_live.withColumnRenamed("conv_id", "u"),
-                    "u",
-                    "left_semi",
-                )
-                .join(
-                    new_live.withColumnRenamed("conv_id", "v"),
-                    "v",
-                    "left_semi",
-                )
-                .limit(1)
-                .count()
+            # convergence mode: stop when no live edge remains — a
+            # limit(1) probe of the just-materialized state
+            n_live_edges = new_ladj.limit(1).count()
+            ckpt.log_lineage(
+                it, new_ladj, "n_live_edges", float(n_live_edges)
             )
-            ckpt.log_lineage(it, new_live, "n_live_edges", float(n_live_edges))
             if n_live_edges == 0:
-                live = new_live
                 break
-        live = new_live
+        ladj = new_ladj
     else:
         if fixed_rounds is None:
             adj.unpersist()

@@ -55,25 +55,34 @@ def shortest_paths(
             .select(
                 F.col("v").alias("conv_id"),
                 (F.col("distance") + F.col("w")).alias("distance"),
+                F.lit(None).cast("double").alias("_old"),
             )
         )
+        # state leg doubles as the old-distance carrier: improvement
+        # count is a column diff on the materialized state, not a
+        # second dist-table join per round (guide §2.4; the same
+        # fusion as connected_components/pagerank)
         new_dist = (
-            dist.unionByName(relaxed)
+            dist.select(
+                "conv_id", "distance", F.col("distance").alias("_old")
+            )
+            .unionByName(relaxed)
             .groupBy("conv_id")
-            .agg(F.min("distance").alias("distance"))
+            .agg(
+                F.min("distance").alias("distance"),
+                F.max("_old").alias("_old"),
+            )
         )
         new_dist = ckpt.write_state(rnd, new_dist)
         n_improved = (
-            new_dist.alias("n")
-            .join(dist.alias("o"), "conv_id", "left")
-            .filter(
-                F.col("o.distance").isNull()
-                | (F.col("n.distance") < F.col("o.distance"))
+            new_dist.filter(
+                F.col("_old").isNull()
+                | (F.col("distance") < F.col("_old"))
             )
             .count()
         )
         ckpt.log_lineage(rnd, new_dist, "n_improved", float(n_improved))
-        dist = new_dist
+        dist = new_dist.select("conv_id", "distance")
         if n_improved == 0:
             break
     adj.unpersist()

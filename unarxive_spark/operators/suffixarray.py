@@ -77,6 +77,11 @@ def _global_dense_ranks(
 
 def _token_positions(df: DataFrame, text_col: str, id_col: str):
     toks = tokens(F.lower(F.col(text_col)))
+    # a few-MB parquet input is one split: widen to the session
+    # parallelism so the posexplode (one row per token) and the first
+    # exchange's map side don't run on one core (guide §2.5; no-op at
+    # real scale where the scan is already wide)
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     base = df.select(
         F.col(id_col).alias("d"), toks.alias("_toks")
     ).filter(F.size("_toks") > 0)

@@ -102,27 +102,36 @@ def temporal_reachability(
             .select(
                 F.col("dst").alias("conv_id"),
                 F.col("et").alias("reach_us"),
+                F.lit(None).cast("long").alias("_old"),
             )
         )
+        # the state leg doubles as the old-arrival carrier, so the
+        # improvement count is a column diff on the materialized state
+        # instead of a second state-table join per superstep (guide
+        # §2.4; same fusion as connected_components/pagerank)
         new_state = (
-            state.unionByName(relaxed)
+            state.select(
+                "conv_id", "reach_us", F.col("reach_us").alias("_old")
+            )
+            .unionByName(relaxed)
             .groupBy("conv_id")
-            .agg(F.min("reach_us").alias("reach_us"))
+            .agg(
+                F.min("reach_us").alias("reach_us"),
+                F.max("_old").alias("_old"),
+            )
         )
         new_state = ckpt.write_state(rnd, new_state)
         n_improved = (
-            new_state.alias("n")
-            .join(state.alias("o"), "conv_id", "left")
-            .filter(
-                F.col("o.reach_us").isNull()
-                | (F.col("n.reach_us") < F.col("o.reach_us"))
+            new_state.filter(
+                F.col("_old").isNull()
+                | (F.col("reach_us") < F.col("_old"))
             )
             .count()
         )
         ckpt.log_lineage(
             rnd, new_state, "n_improved", float(n_improved)
         )
-        state = new_state
+        state = new_state.select("conv_id", "reach_us")
         if n_improved == 0:
             break
     adj.unpersist()

@@ -3401,6 +3401,9 @@ def q_textrank_keywords(spark, sf_dir):
     from unarxive_spark.operators.pagerank import pagerank
 
     d = _t(spark, sf_dir, "documents")
+    # few-MB single-split input: widen so the bigram explode's map side
+    # doesn't run on one core (guide §2.5; no-op when the scan is wide)
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
     toks = F.filter(
         F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
         lambda t: t != "",
