@@ -127,9 +127,18 @@ def anf(
         bm, rho = _init_bitmap(i)
         rho_cols.append(rho.alias(f"__rho{i}"))
         bm_exprs.append(bm)
-    state = verts.select("conv_id", *rho_cols).select(
-        "conv_id",
-        *[bm_exprs[i].alias(reg_cols[i]) for i in range(n_regs)],
+    pop0 = sum((F.bit_count(F.col(c)) for c in reg_cols), start=F.lit(0))
+    state = (
+        verts.select("conv_id", *rho_cols)
+        .select(
+            "conv_id",
+            *[bm_exprs[i].alias(reg_cols[i]) for i in range(n_regs)],
+        )
+        # stored popcount: computed ONCE per state row at materialization,
+        # then FORWARDED through later supersteps (never recomputed in a
+        # shuffle map side) — the changed-flag and the convergence metric
+        # both read this column
+        .withColumn("_pop", pop0.cast("long"))
     )
 
     r_sum = sum((trailing_ones(c) for c in reg_cols), start=F.lit(0))
@@ -147,7 +156,7 @@ def anf(
     n_vertices = int(init_row["n"])
     n0_estimate = float(init_row["s"])
 
-    states: list[DataFrame] = [state]
+    states: list[DataFrame] = [state.select("conv_id", *reg_cols)]
     neighborhood: list[float] = []
     popcount = None
     prev_pop = -1
@@ -159,48 +168,58 @@ def anf(
     # absorbed the identical bitmaps in round t already).  Only the
     # CHANGED sketches are pulled; the state leg of the union carries
     # every vertex forward, so the per-round result is bit-identical
-    # to the full pull by induction.  Changed-ness rides in the state
-    # as ``_oldpop`` (bit_or is monotone, so changed ⇔ popcount grew)
-    # — a column filter on the materialized re-scan, no extra join.
+    # to the full pull by induction.  Changed-ness = the stored ``_pop``
+    # grew (bit_or is monotone) — a compare of two MATERIALIZED columns,
+    # so neither the shuffle map side nor the delta filter ever
+    # recomputes a popcount (the first delta-propagation cut recomputed
+    # it per row per round and measured SLOWER than the full pull at
+    # sf0.1; forwarding the stored value is what makes the cut free).
     delta = state  # round 0 pulls everything: every sketch is "new"
     for it in range(max_iter):
         pulled = adj.join(
-            delta.withColumnRenamed("conv_id", "v"), "v"
+            delta.select(
+                F.col("conv_id").alias("v"), *reg_cols
+            ),
+            "v",
         ).select(
             F.col("u").alias("conv_id"),
             *reg_cols,
             F.lit(None).cast("long").alias("_oldpop"),
         )
         new_state = (
-            state.select("conv_id", *reg_cols, pop.cast("long").alias("_oldpop"))
+            state.select(
+                "conv_id", *reg_cols, F.col("_pop").alias("_oldpop")
+            )
             .unionByName(pulled)
             .groupBy("conv_id")
             .agg(
                 *[F.bit_or(c).alias(c) for c in reg_cols],
                 F.max("_oldpop").alias("_oldpop"),
             )
+            # popcount of the merged sketch, computed once per output row
+            # on the reduce side and stored with the state
+            .withColumn("_pop", pop.cast("long"))
         )
         new_m = ckpt.write_state(it, new_state)
         # ONE action per superstep: both metrics from the same aggregate
-        # over the materialized re-scan
+        # over the materialized re-scan (popcount read from the stored
+        # column, not recomputed)
         row = new_m.agg(
-            F.sum(pop).alias("p"), F.sum(est_pairs).alias("s")
+            F.sum("_pop").alias("p"), F.sum(est_pairs).alias("s")
         ).collect()[0]
         popcount = row["p"]
         neighborhood.append(row["s"])
         ckpt.log_lineage(it, new_m, "total_popcount", float(popcount))
-        state = new_m.select("conv_id", *reg_cols)
-        delta = new_m.filter(pop.cast("long") != F.col("_oldpop")).select(
-            "conv_id", *reg_cols
-        )
+        state = new_m
+        delta = new_m.filter(F.col("_pop") != F.col("_oldpop"))
         if keep_states:
-            states.append(state)
+            states.append(state.select("conv_id", *reg_cols))
         if popcount == prev_pop:
             converged = True
             break
         prev_pop = popcount
     return ANFResult(
-        sketches=state,
+        sketches=state.select("conv_id", *reg_cols),
         iterations=it + 1,
         converged=converged,
         n_regs=n_regs,

@@ -275,72 +275,58 @@ def triad_census(
         )
     )
 
-    def _mult(p, q):
-        """Slot multiplier of the canonical pair (min(p,q), max(p,q))
-        within the sorted triple (x, y, z): (x,y)→1, (x,z)→4, (y,z)→16."""
-        pmin, pmax = F.least(p, q), F.greatest(p, q)
+    # ONE wedge join: the probe side is the pair table expanded to both
+    # endpoints (2|lp| rows) BEFORE the join, so the neighbor view is
+    # shuffled once instead of once per leg (the wedge OUTPUT volume is
+    # identical either way — Σd² is inherent).
+    def _probe(end: str, other: str) -> DataFrame:
+        return lp.select(
+            "a",
+            "b",
+            (F.col("fwd") + 2 * F.col("bwd")).alias("_c_ab"),
+            F.col(end).alias("_e"),
+            F.col(other).alias("_o"),
+        )
+
+    cand = (
+        _probe("a", "b")
+        .unionByName(_probe("b", "a"))
+        .join(
+            nbrb.select(
+                F.col("u").alias("_e"),
+                F.col("v").alias("w"),
+                (F.col("fwd") + 2 * F.col("bwd")).alias("_c_ew"),
+            ),
+            "_e",
+        )
+        .filter((F.col("w") != F.col("a")) & (F.col("w") != F.col("b")))
+    )
+    # Slot multiplier of a pair within the sorted triple (x, y, z) —
+    # (x,y)→1, (x,z)→4, (y,z)→16 — is a pure function of where the
+    # pair's EXCLUDED vertex sits: excluded == z (the max) → the pair is
+    # (x,y) → 1; excluded == x (the min) → 16; else (middle) → 4.  Two
+    # compares per pair against the row's min/max instead of the old
+    # per-pair least/greatest plus an array_sort for the middle element.
+    l3 = F.least("a", "b", "w")
+    g3 = F.greatest("a", "b", "w")
+
+    def _mult_excl(t):
         return (
-            F.when((pmin == F.col("x")) & (pmax == F.col("y")), F.lit(1))
-            .when(pmin == F.col("x"), F.lit(4))
-            .otherwise(F.lit(16))
+            F.when(t == g3, F.lit(1))
+            .when(t == l3, F.lit(16))
+            .otherwise(F.lit(4))
             .cast("long")
         )
 
-    def _leg(end: str) -> DataFrame:
-        other = "b" if end == "a" else "a"
-        return (
-            lp.select(
-                "a",
-                "b",
-                (F.col("fwd") + 2 * F.col("bwd")).alias("_c_ab"),
-            )
-            .join(
-                nbrb.select(
-                    F.col("u").alias(end),
-                    F.col("v").alias("w"),
-                    (F.col("fwd") + 2 * F.col("bwd")).alias("_c_ew"),
-                ),
-                end,
-            )
-            .filter((F.col("w") != F.col("a")) & (F.col("w") != F.col("b")))
-            .select(
-                "a",
-                "b",
-                "w",
-                "_c_ab",
-                "_c_ew",
-                F.col(end).alias("_e"),
-                F.col(other).alias("_o"),
-            )
-        )
-
-    cand = _leg("a").unionByName(_leg("b"))
+    m_ab = _mult_excl(F.col("w"))
+    m_ew = _mult_excl(F.col("_o"))
     known = cand.select(
-        F.least("a", "b", "w").alias("x"),
-        F.array_sort(F.array("a", "b", "w"))[1].alias("y"),
-        F.greatest("a", "b", "w").alias("z"),
         # third pair = (other endpoint, w); its slot multiplier is the
         # one the two known pairs leave over
         F.least("_o", "w").alias("ta"),
         F.greatest("_o", "w").alias("tb"),
-        "a",
-        "b",
-        "_e",
-        "w",
-        "_c_ab",
-        "_c_ew",
-    ).select(
-        "ta",
-        "tb",
-        (
-            F.col("_c_ab") * _mult(F.col("a"), F.col("b"))
-            + F.col("_c_ew") * _mult(F.col("_e"), F.col("w"))
-        ).alias("_c_known"),
-        (
-            F.lit(21)
-            - _mult(F.col("a"), F.col("b"))
-            - _mult(F.col("_e"), F.col("w"))
-        ).alias("_m3"),
+        (F.col("_c_ab") * m_ab + F.col("_c_ew") * m_ew).alias("_c_known"),
+        (F.lit(21) - m_ab - m_ew).alias("_m3"),
     )
 
     third = lp.select(
@@ -362,24 +348,35 @@ def triad_census(
             "canon long, triad_type string, m long, g_mut long, g_asym long",
         )
     )
-    # ONE map-side-combinable pass: 16 groups, exact division by the
-    # class multiplicity recovers the triple count
+    # ONE map-side-combinable pass over the wedge volume — grouped by
+    # the RAW 6-bit code (64 values), so the canonical min-over-6-
+    # permutations expression (36 shift/mask terms) runs on at most 64
+    # aggregated rows instead of once per Σd² wedge row; the map side
+    # pays only the row-local code arithmetic.  A second 64→16-row
+    # aggregate folds codes into canonical classes.
     multi = (
-        coded.select(canon.alias("canon"))
-        .groupBy("canon")
+        coded.groupBy("code")
         .agg(F.count(F.lit(1)).alias("rows"))
-        .join(dim, "canon")
-        .select(
-            "canon",
-            "g_mut",
-            "g_asym",
-            F.expr("rows div m").alias("n_triads"),
-        )
+        .select(canon.alias("canon"), "rows")
+        .groupBy("canon")
+        .agg(F.sum("rows").alias("rows"))
     )
     if eager:
-        # 16-row pivot of the whole census: evaluate the one data-sized
-        # pass exactly once (csum/counted/total/final all reuse it)
+        # 16-row pivot of the whole census, materialized BEFORE the dim
+        # join: (a) the one data-sized pass is evaluated exactly once
+        # (csum/counted/total/final all reuse it), and (b) the inner
+        # join on canon would otherwise infer ``isnotnull(canon)`` and
+        # Catalyst pushes that constraint below BOTH aggregates — the
+        # full 36-term canonical expression re-evaluated per Σd² wedge
+        # row as a filter (measured 6.8 s → 56 s at sf0.1); the
+        # checkpoint is a pushdown barrier at ≤64 rows.
         multi = multi.localCheckpoint(eager=True)
+    multi = multi.join(dim, "canon").select(
+        "canon",
+        "g_mut",
+        "g_asym",
+        F.expr("rows div m").alias("n_triads"),
+    )
 
     # dyad-level scalars for the single-dyad identity
     dl = lp.join(deg.withColumnRenamed("u", "a"), "a").join(
