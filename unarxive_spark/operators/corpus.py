@@ -718,6 +718,10 @@ def bpe_merges(
         pat = _BPE_SEP + a + _BPE_SEP + _BPE_SEP + b + _BPE_SEP
         rep = _BPE_SEP + a + b + _BPE_SEP
         s_col = F.replace(s_col, F.lit(pat), F.lit(rep))
+    # the learned rules are driver-side — the result has NO lineage on
+    # the checkpointed corpus, so its blocks can be dropped eagerly
+    # (keeps long shared sessions from accumulating dead cached state)
+    base.unpersist()
     return spark.createDataFrame(
         rules,
         "merge_rank int, token_a string, token_b string, pair_count long",
